@@ -1,0 +1,137 @@
+"""Experiment configuration.
+
+Mirrors the reference's argparse + YAML round-trip config system
+(`scripts/train_mmf.py:12-79`, `utils/helpers.py:14-48`) with the same key
+names, as a plain dataclass: CLI flags populate it, `save()` persists
+`config.yaml` into the experiment directory, and `Config.load(path)`
+reloads it for resume / sampling with selective overrides.
+
+Extra TPU-specific knobs (mesh shape, dtype policy, attention impl) default
+to values that reproduce the reference behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import secrets
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class Config:
+    # system
+    num_nodes: int = 1
+    dir: str = "./experiments"
+    dir_aoj: str = "./aoj"
+    project: str = "aoj_jets"
+    experiment_id: Optional[str] = None
+    ckpt_path: Optional[str] = None
+    resume_ckpt: str = "last"
+    tags: Optional[List[str]] = None
+
+    # training (reference `train_mmf.py:29-39`)
+    data_files: Any = "RunG_batch0.h5"
+    num_jets: int = 1_250_000
+    max_num_particles: int = 150
+    batch_size: int = 256
+    max_epochs: int = 1500
+    train_frac: float = 0.8
+    lr: float = 5e-4
+    lr_final: float = 1e-5
+    warmup_epochs: int = 0
+    use_ema_weights: bool = False
+    ema_decay: float = 0.9999
+    gradient_clip_val: float = 1.0
+    seed: int = 0
+
+    # model (reference `train_mmf.py:42-56`)
+    model: str = "ParticleFormer"
+    continuous_features: List[str] = field(default_factory=lambda: ["pt", "eta_rel", "phi_rel"])
+    discrete_features: str = "tokens"
+    vocab_size: int = 9  # tokens 1..8 plus pad token 0
+    dim_continuous: int = 3
+    n_embd: int = 256
+    n_inner: Optional[int] = 512
+    n_layer: int = 5
+    n_layer_fused: int = 6
+    n_head: int = 4
+    dropout: float = 0.0
+    qk_layernorm: bool = True
+    bias: bool = True
+    multitask_loss: str = "time-weighted"
+    use_coocurrence: bool = False
+    # extra-config keys with no reference CLI flag (YAML-only there):
+    use_pos_emb: bool = False
+    use_pairwise: bool = False
+    n_embd_glob: int = 16
+    markov_jump_solver: str = "tauleap-poisson"
+
+    # GPT baseline keys (reference `model/GPT.py:12-37`)
+    max_seq_length: int = 150
+    activation: str = "gelu_new"
+    dropout_att: float = 0.0
+    dropout_emb: float = 0.0
+    dropout_res: float = 0.0
+
+    # dynamics (reference `train_mmf.py:59-61`)
+    beta: float = 0.075
+    sigma: float = 1e-5
+    time_eps: float = 1e-5
+
+    # sampling (reference `train_mmf.py:64-67`)
+    num_timesteps: Any = 100
+    temperature: Any = 1.0
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    use_final_max_rates: bool = False
+
+    # dataset metadata injected at runtime (reference `train_mmf.py:95`)
+    metadata: Optional[Dict[str, Any]] = None
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}
+    compute_dtype: str = "float32"               # or "bfloat16"
+    attn_impl: Optional[str] = None              # None='auto', 'xla', 'pallas'
+    checkpoint_every_n_epochs: int = 1
+    log_every_n_steps: int = 50
+
+    # ------------------------------------------------------------ helpers
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def experiment_dir(self) -> str:
+        assert self.experiment_id is not None
+        return os.path.join(self.dir, self.project, self.experiment_id)
+
+    def mint_experiment_id(self) -> str:
+        if self.experiment_id is None:
+            self.experiment_id = secrets.token_hex(8)
+        return self.experiment_id
+
+    def save(self, path: Optional[str] = None) -> str:
+        """Persist config.yaml into the experiment dir
+        (reference `helpers.py:35-36`)."""
+        path = path or self.experiment_dir
+        os.makedirs(path, exist_ok=True)
+        out = os.path.join(path, "config.yaml")
+        with open(out, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False, default_flow_style=False)
+        return out
+
+    @classmethod
+    def load(cls, experiment_path: str) -> "Config":
+        """Reload a persisted config (reference `helpers.py:42-48`)."""
+        with open(os.path.join(experiment_path, "config.yaml")) as f:
+            raw = yaml.safe_load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        cfg = cls(**{k: v for k, v in raw.items() if k in known})
+        return cfg

@@ -1,0 +1,257 @@
+"""Sampling-time integrators, fused for `lax.scan`.
+
+TPU-native re-design of the reference solvers (`model/solvers.py:7-274`).
+The reference steps a Python loop on the host, paying per-step dispatch;
+here each `simulate_*` compiles the full time loop into a single XLA
+program — model forward, telegraph rates, Poisson tau-leaping and the Euler
+ODE update all fuse on-device, and only the final state is transferred out.
+
+All steps are pure: `(key, state, t, dt) -> state`.  The model is passed as
+`apply_fn(state) -> heads` where heads is `(vt, logits)` for hybrid models,
+`vt` for continuous-only, `logits` for discrete-only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_flows_tpu.data.state import MultiModal
+from multimodal_flows_tpu.dynamics.bridges import (
+    RandomTelegraphBridge,
+    top_k_filter,
+    top_p_filter,
+)
+
+Array = jax.Array
+
+
+def _filtered_probs(logits: Array, temperature: float, top_k: Optional[int], top_p: Optional[float]) -> Array:
+    """softmax(logits / T) with optional top-k / top-p filtering
+    (reference `solvers.py:33-42`)."""
+    logits = logits.astype(jnp.float32) / jnp.asarray(temperature, jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if top_k is not None:
+        probs = top_k_filter(probs, top_k)
+    if top_p is not None:
+        probs = top_p_filter(probs, top_p)
+    return probs
+
+
+def _poisson_tauleap_tokens(key: Array, k: Array, rates: Array, dt: Array, vocab_size: int) -> Array:
+    """Poisson tau-leap with at-most-one-jump gating, mod-S shift
+    (reference `solvers.py:47-54`).
+
+    k: (B, D) int tokens, rates: (B, D, S), dt scalar.
+    """
+    delta_n = jax.random.poisson(key, rates * dt, dtype=jnp.int32)      # (B,D,S)
+    jump_mask = (delta_n.sum(axis=-1) <= 1).astype(k.dtype)             # (B,D)
+    diff = jnp.arange(vocab_size, dtype=k.dtype)[None, None, :] - k[:, :, None]
+    net_jumps = (delta_n.astype(k.dtype) * diff).sum(axis=-1)           # (B,D)
+    return (k + net_jumps * jump_mask) % vocab_size
+
+
+def _bernoulli_tauleap_tokens(key: Array, k: Array, rates: Array, dt: Array, vocab_size: int) -> Array:
+    """Bernoulli tau-leap variant (reference `solvers.py:207-215`)."""
+    prob_jump = jnp.clip(rates * dt, None, 1.0)
+    delta_n = jax.random.bernoulli(key, prob_jump).astype(k.dtype)
+    diff = jnp.arange(vocab_size, dtype=k.dtype)[None, None, :] - k[:, :, None]
+    net_jumps = (delta_n * diff).sum(axis=-1)
+    return (k + net_jumps) % vocab_size
+
+
+def _euler_transition_tokens(key: Array, k: Array, rates: Array, dt: Array,
+                             top_k: Optional[int], top_p: Optional[float],
+                             vocab_size: int) -> Array:
+    """One-step categorical transition matrix: off-diagonal rates*dt, diagonal
+    carries the remaining mass (reference `solvers.py:62-91`)."""
+    delta_p = jnp.clip(rates * dt, None, 1.0)                           # (B,D,S)
+    onehot = jax.nn.one_hot(k, vocab_size, dtype=delta_p.dtype)
+    delta_p = delta_p * (1.0 - onehot)                                  # zero diagonal
+    diag = jnp.clip(1.0 - delta_p.sum(axis=-1, keepdims=True), 0.0, None)
+    delta_p = delta_p + diag * onehot
+    if top_k is not None:
+        delta_p = top_k_filter(delta_p, top_k)
+    if top_p is not None:
+        delta_p = top_p_filter(delta_p, top_p)
+    logits = jnp.log(jnp.clip(delta_p, 1e-30, None))
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def _jump_or_stay_tokens(key: Array, k: Array, rates: Array, probs: Array, dt: Array,
+                         vocab_size: int) -> Array:
+    """Bernoulli leave decision + categorical destination excluding the
+    current class (reference `solvers.py:239-274`)."""
+    key_leave, key_dest = jax.random.split(key)
+    rate_leave = jnp.take_along_axis(rates, k[..., None], axis=-1)[..., 0]  # (B,D)
+    p_leave = jnp.clip(rate_leave * dt, None, 1.0)
+    jump = jax.random.bernoulli(key_leave, p_leave)                         # (B,D)
+
+    onehot = jax.nn.one_hot(k, vocab_size, dtype=probs.dtype)
+    dest_probs = probs * (1.0 - onehot)
+    dest_probs = dest_probs / jnp.clip(dest_probs.sum(axis=-1, keepdims=True), 1e-8, None)
+    dest = jax.random.categorical(key_dest, jnp.log(jnp.clip(dest_probs, 1e-30, None)), axis=-1)
+    return jnp.where(jump, dest.astype(k.dtype), k)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid solver (MMF): Euler ODE for continuous + tau-leap for discrete
+# ---------------------------------------------------------------------------
+
+
+class HybridSolver:
+    """Joint continuous+discrete step (reference `solvers.py:7-119`)."""
+
+    def __init__(self, apply_fn: Callable, bridge_discrete: RandomTelegraphBridge,
+                 vocab_size: int, temperature: float = 1.0,
+                 top_k: Optional[int] = None, top_p: Optional[float] = None,
+                 method: str = "tauleap"):
+        self.apply_fn = apply_fn
+        self.bridge = bridge_discrete
+        self.vocab_size = int(vocab_size)
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        self.method = method
+
+    def fwd_step(self, key: Array, state: MultiModal, dt: Array) -> Tuple[MultiModal, Array]:
+        vt, logits = self.apply_fn(state)
+        probs = _filtered_probs(logits, self.temperature, self.top_k, self.top_p)
+        k = state.discrete[..., 0]
+        rates = self.bridge.rate(state.time, k, probs)                   # (B,D,S)
+
+        if self.method == "tauleap":
+            k_new = _poisson_tauleap_tokens(key, k, rates, dt, self.vocab_size)
+        elif self.method == "euler":
+            k_new = _euler_transition_tokens(key, k, rates, dt, self.top_k, self.top_p, self.vocab_size)
+        else:
+            raise ValueError(f"unknown hybrid method {self.method!r}")
+
+        x_new = state.continuous + vt.astype(state.continuous.dtype) * dt
+        new_state = state.replace(continuous=x_new, discrete=k_new[..., None])
+        return new_state, rates
+
+
+class ContinuousSolver:
+    """Euler / Euler-Maruyama for pure CFM (reference `solvers.py:123-153`)."""
+
+    def __init__(self, apply_fn: Callable, diffusion_fn: Optional[Callable] = None,
+                 method: str = "euler"):
+        self.apply_fn = apply_fn
+        self.diffusion_fn = diffusion_fn
+        self.method = method
+
+    def fwd_step(self, key: Array, state: MultiModal, dt: Array) -> MultiModal:
+        vt = self.apply_fn(state)
+        if self.method == "euler":
+            return state.replace(continuous=state.continuous + vt * dt)
+        elif self.method == "euler_maruyama":
+            diffusion = self.diffusion_fn(state) if self.diffusion_fn else 0.0
+            dw = jax.random.normal(key, state.continuous.shape, state.continuous.dtype)
+            return state.replace(continuous=state.continuous + vt * dt + diffusion * dw)
+        raise ValueError(f"unknown continuous method {self.method!r}")
+
+
+class DiscreteSolver:
+    """Pure-MJB steps, selected by `markov_jump_solver`
+    (reference `solvers.py:157-274`)."""
+
+    def __init__(self, apply_fn: Callable, bridge_discrete: RandomTelegraphBridge,
+                 vocab_size: int, temperature: float = 1.0,
+                 top_k: Optional[int] = None, top_p: Optional[float] = None,
+                 method: str = "tauleap-poisson"):
+        self.apply_fn = apply_fn
+        self.bridge = bridge_discrete
+        self.vocab_size = int(vocab_size)
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        self.method = method
+
+    def fwd_step(self, key: Array, state: MultiModal, dt: Array) -> Tuple[MultiModal, Array]:
+        logits = self.apply_fn(state)
+        probs = _filtered_probs(logits, self.temperature, self.top_k, self.top_p)
+        k = state.discrete[..., 0]
+        rates = self.bridge.rate(state.time, k, probs)
+
+        if self.method == "tauleap-poisson":
+            k_new = _poisson_tauleap_tokens(key, k, rates, dt, self.vocab_size)
+        elif self.method == "tauleap-bernouilli":  # reference spelling
+            k_new = _bernoulli_tauleap_tokens(key, k, rates, dt, self.vocab_size)
+        elif self.method == "euler":
+            k_new = _euler_transition_tokens(key, k, rates, dt, self.top_k, self.top_p, self.vocab_size)
+        elif self.method == "jump_or_stay":
+            k_new = _jump_or_stay_tokens(key, k, rates, probs, dt, self.vocab_size)
+        else:
+            raise ValueError(f"unknown discrete method {self.method!r}")
+
+        return state.replace(discrete=k_new[..., None]), rates
+
+
+# ---------------------------------------------------------------------------
+# Fused simulation loops (single lax.scan per trajectory)
+# ---------------------------------------------------------------------------
+
+
+def time_grid(time_eps: float, num_timesteps: int):
+    """linspace(eps, 1-eps, steps) and the uniform dt
+    (reference `MMF.py:181-184`)."""
+    ts = jnp.linspace(time_eps, 1.0 - time_eps, num_timesteps, dtype=jnp.float32)
+    dt = (ts[-1] - ts[0]) / (num_timesteps - 1)
+    return ts, dt
+
+
+def simulate(
+    key: Array,
+    solver,
+    source: MultiModal,
+    num_timesteps: int,
+    time_eps: float,
+    *,
+    return_trajectory: bool = False,
+    use_final_max_rates: bool = False,
+) -> MultiModal:
+    """Roll a solver over the full time grid inside one `lax.scan`.
+
+    Mirrors `simulate_dynamics` (reference `MMF.py:172-200`) but compiled:
+    `num_timesteps` iterations of (model forward -> rates -> tau-leap +
+    Euler), with per-step PRNG keys folded from `key`.
+    """
+    ts, dt = time_grid(time_eps, num_timesteps)
+    B = len(source)
+
+    track_rates = use_final_max_rates
+    if track_rates:
+        D = source.num_particles
+        init_rates = jnp.zeros((B, D, solver.vocab_size), dtype=jnp.float32)
+    else:
+        init_rates = None
+
+    def step(carry, t):
+        state, k, _ = carry
+        k, sub = jax.random.split(k)
+        state = state.replace(time=jnp.full((B,), t, dtype=jnp.float32))
+        out = solver.fwd_step(sub, state, dt)
+        if isinstance(out, tuple):
+            state, rates = out
+        else:
+            state, rates = out, None
+        last_rates = rates if track_rates else None
+        y = state if return_trajectory else None
+        return (state, k, last_rates), y
+
+    (final_state, _, final_rates), traj = jax.lax.scan(
+        step, (source, key, init_rates), ts
+    )
+
+    if track_rates:
+        # argmax override of final tokens (reference `MMF.py:193-196`)
+        max_rate = jnp.argmax(final_rates, axis=2).astype(jnp.int32)
+        final_state = final_state.replace(discrete=max_rate[..., None])
+
+    if return_trajectory:
+        return final_state, traj
+    return final_state

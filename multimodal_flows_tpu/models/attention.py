@@ -1,0 +1,130 @@
+"""Self/cross attention modules over padded particle sets (flax.linen).
+
+Re-design of reference `networks/attention.py:6-120`: pre-LN residual
+blocks around fused-QKV multi-head attention with optional per-head
+QK-LayerNorm.  Attention is non-causal (jets are permutation-symmetric
+sets); masking and learned pairwise terms enter through one additive
+(B, H|1, T, T) bias consumed by `ops.multihead_attention` (Pallas kernel on
+TPU, fused XLA path elsewhere).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_flows_tpu.models.blocks import DENSE_INIT, MLP, LayerNorm
+from multimodal_flows_tpu.ops.attention import multihead_attention
+
+Array = jax.Array
+
+
+class SelfAttention(nn.Module):
+    """Fused-QKV multi-head self attention with QK-LayerNorm
+    (reference `attention.py:32-74`)."""
+
+    n_embd: int
+    n_head: int
+    dropout: float = 0.0
+    use_bias: bool = True
+    qk_layernorm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, attn_bias: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        assert self.n_embd % self.n_head == 0
+        B, T, C = x.shape
+        hs = C // self.n_head
+
+        qkv = nn.Dense(3 * self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
+                       dtype=self.dtype, name="c_attn")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)  # (B,H,T,hs)
+
+        q, k, v = heads(q), heads(k), heads(v)
+
+        if self.qk_layernorm:
+            # per-head-size LayerNorm, params shared across heads
+            q = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="q_layernorm")(q)
+            k = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="k_layernorm")(k)
+
+        y = multihead_attention(q, k, v, attn_bias, impl=self.attn_impl)
+        y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
+        y = nn.Dense(self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
+                     dtype=self.dtype, name="c_proj")(y)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        return y
+
+
+class CrossAttention(nn.Module):
+    """Query from x, keys/values from z (reference `attention.py:77-120`)."""
+
+    n_embd: int
+    n_head: int
+    dropout: float = 0.0
+    use_bias: bool = True
+    qk_layernorm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, z: Array, attn_bias: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        B, T, C = x.shape
+        hs = C // self.n_head
+
+        q = nn.Dense(self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
+                     dtype=self.dtype, name="c_query")(x)
+        kv = nn.Dense(2 * self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
+                      dtype=self.dtype, name="c_attn")(z)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, -1, self.n_head, hs).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+
+        if self.qk_layernorm:
+            q = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="q_layernorm")(q)
+            k = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="k_layernorm")(k)
+
+        y = multihead_attention(q, k, v, attn_bias, impl=self.attn_impl)
+        y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
+        y = nn.Dense(self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
+                     dtype=self.dtype, name="c_proj")(y)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        return y
+
+
+class SelfAttnBlock(nn.Module):
+    """Pre-LN residual block: x + Attn(LN(x)); x + MLP(LN(x))
+    (reference `attention.py:6-26`)."""
+
+    n_embd: int
+    n_head: int
+    n_inner: Optional[int] = None
+    dropout: float = 0.0
+    use_bias: bool = True
+    qk_layernorm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, attn_bias: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        n_inner = self.n_inner if self.n_inner is not None else 4 * self.n_embd
+        h = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="ln1")(x)
+        x = x + SelfAttention(self.n_embd, self.n_head, self.dropout, self.use_bias,
+                              self.qk_layernorm, self.dtype, self.attn_impl,
+                              name="attn")(h, attn_bias, deterministic)
+        h = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="ln2")(x)
+        x = x + MLP(n_inner, dropout=self.dropout, use_bias=self.use_bias,
+                    dtype=self.dtype, name="ffw")(h, deterministic)
+        return x
