@@ -10,6 +10,7 @@ from multimodal_flows_tpu.models.particle_transformers import (
     KinFormer,
     ParticleFormer,
 )
+from multimodal_flows_tpu.models.toy import ToyMLP
 
 MODEL_REGISTRY = {
     "ParticleFormer": ParticleFormer,
@@ -17,6 +18,7 @@ MODEL_REGISTRY = {
     "FlavorFormer": FlavorFormer,
     "KinFormer": KinFormer,
     "EPiC": EPiC,
+    "ToyMLP": ToyMLP,
 }
 
 

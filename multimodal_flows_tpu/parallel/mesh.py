@@ -1,0 +1,57 @@
+"""Device mesh + sharding layout.
+
+TPU-native replacement for the reference's Lightning DDP / NCCL stack
+(`scripts/train_mmf.py:159-168`, `utils/helpers.py:51-54`): a single
+`jax.sharding.Mesh` over the ICI with a `data` axis.  Batches are sharded
+along `data`; parameters and optimizer state are replicated; the gradient
+all-reduce is inserted by the partitioner because the loss is a mean over
+the globally sharded batch (no explicit NCCL calls to translate).
+
+Multi-host: each process feeds its local devices via
+`jax.make_array_from_process_local_data`; metric sync falls out of jit the
+same way gradients do.  `multihost_utils.process_allgather` replaces the
+reference's shared-filesystem rank gather for generation
+(`utils/callbacks.py:36-58`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_flows_tpu.data.state import DataCoupling, MultiModal
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[list] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_coupling(coupling: DataCoupling, mesh: Optional[Mesh]) -> DataCoupling:
+    """Device-put a host batch with batch-dim sharding (replicates under a
+    trivial/absent mesh)."""
+    if mesh is None:
+        return jax.tree.map(jax.numpy.asarray, coupling)
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), coupling)
+
+
+def shard_state(state: MultiModal, mesh: Optional[Mesh]) -> MultiModal:
+    if mesh is None:
+        return state.to_device()
+    return state.to_device(batch_sharding(mesh))

@@ -1,0 +1,100 @@
+"""Checkpointing: orbax-backed, best-k per monitored metric + last.
+
+Replaces the reference's three Lightning `ModelCheckpoint`s
+(`scripts/train_mmf.py:128-148`, monitors val_loss / val_loss_mse /
+val_loss_ce, `save_last=True`) and the EMA piggyback
+(`model/MMF.py:112-134`): here params, EMA params, optimizer state, and
+step/epoch are one pytree saved atomically with orbax; a JSON index tracks
+the best value per monitor so `best`, `best_mse`, `best_ce`, `last` are
+plain subdirectories that `load()` can target by name.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+MONITORS = {
+    "best": "val_loss",
+    "best_mse": "val_loss_mse",
+    "best_ce": "val_loss_ce",
+}
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, monitors: Optional[Dict[str, str]] = None):
+        self.dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.monitors = dict(monitors) if monitors is not None else dict(MONITORS)
+        self._index_path = os.path.join(self.dir, "index.json")
+        self.index: Dict[str, Any] = {"best_values": {}, "history": []}
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self.index = json.load(f)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------ io
+
+    def _save_to(self, name: str, state) -> None:
+        path = os.path.join(self.dir, name)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, state)
+        self._ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    def _write_index(self) -> None:
+        with open(self._index_path, "w") as f:
+            json.dump(self.index, f, indent=1)
+
+    # ---------------------------------------------------------------- save
+
+    def save(self, state, metrics: Dict[str, float], epoch: int) -> Dict[str, bool]:
+        """Save `last` and update every monitor whose metric improved.
+
+        `state` is any pytree (train state).  Returns which slots were
+        written.
+        """
+        written = {"last": True}
+        self._save_to("last", state)
+
+        for slot, metric in self.monitors.items():
+            value = metrics.get(metric)
+            if value is None:
+                written[slot] = False
+                continue
+            value = float(value)
+            best = self.index["best_values"].get(slot)
+            if best is None or value < best["value"]:
+                self._save_to(slot, state)
+                self.index["best_values"][slot] = {"value": value, "epoch": epoch}
+                written[slot] = True
+            else:
+                written[slot] = False
+
+        self.index["history"].append(
+            {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}})
+        self._write_index()
+        return written
+
+    # ---------------------------------------------------------------- load
+
+    def load(self, target, name: str = "last"):
+        """Restore a checkpoint by slot name onto an abstract `target`
+        pytree (same structure/dtypes as a fresh train state)."""
+        path = os.path.join(self.dir, name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no checkpoint slot {name!r} in {self.dir}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        return self._ckptr.restore(path, abstract)
+
+    def has(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.dir, name))

@@ -1,0 +1,113 @@
+"""Solver-step invariants (reference parity: `model/solvers.py`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_flows_tpu.data.state import MultiModal
+from multimodal_flows_tpu.dynamics.bridges import RandomTelegraphBridge
+from multimodal_flows_tpu.dynamics import solvers
+
+V = 9
+
+
+def _toy_state(B=16, D=6, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    return MultiModal(
+        time=jnp.full((B,), 0.5),
+        continuous=jax.random.normal(k1, (B, D, 3)),
+        discrete=jax.random.randint(k2, (B, D, 1), 0, V, dtype=jnp.int32),
+        mask=jnp.ones((B, D, 1), jnp.int32),
+    )
+
+
+def test_poisson_tauleap_token_range():
+    state = _toy_state()
+    rates = jnp.ones((16, 6, V)) * 2.0
+    k_new = solvers._poisson_tauleap_tokens(
+        jax.random.PRNGKey(1), state.discrete[..., 0], rates, jnp.asarray(0.1), V)
+    arr = np.asarray(k_new)
+    assert arr.min() >= 0 and arr.max() < V
+
+
+def test_bernoulli_tauleap_token_range():
+    state = _toy_state()
+    rates = jnp.ones((16, 6, V)) * 2.0
+    k_new = solvers._bernoulli_tauleap_tokens(
+        jax.random.PRNGKey(1), state.discrete[..., 0], rates, jnp.asarray(0.1), V)
+    arr = np.asarray(k_new)
+    assert arr.min() >= 0 and arr.max() < V
+
+
+def test_tauleap_zero_rates_no_jump():
+    """With zero off-diagonal intensity nothing moves."""
+    state = _toy_state()
+    k = state.discrete[..., 0]
+    rates = jnp.zeros((16, 6, V))
+    k_new = solvers._poisson_tauleap_tokens(jax.random.PRNGKey(2), k, rates, jnp.asarray(0.1), V)
+    np.testing.assert_array_equal(np.asarray(k_new), np.asarray(k))
+
+
+def test_euler_transition_stays_with_tiny_dt():
+    state = _toy_state()
+    k = state.discrete[..., 0]
+    rates = jnp.ones((16, 6, V))
+    k_new = solvers._euler_transition_tokens(
+        jax.random.PRNGKey(3), k, rates, jnp.asarray(1e-9), None, None, V)
+    np.testing.assert_array_equal(np.asarray(k_new), np.asarray(k))
+
+
+def test_jump_or_stay_single_jump_semantics():
+    state = _toy_state()
+    k = state.discrete[..., 0]
+    # huge rate -> always jump; peaked probs -> jump to state 3 (unless already there)
+    rates = jnp.full((16, 6, V), 1e6)
+    probs = jnp.zeros((16, 6, V)).at[..., 3].set(0.9).at[..., 4].set(0.1)
+    k_new = solvers._jump_or_stay_tokens(jax.random.PRNGKey(4), k, rates, probs,
+                                         jnp.asarray(0.1), V)
+    arr = np.asarray(k_new)
+    was3 = np.asarray(k) == 3
+    assert np.all(arr[~was3] != np.asarray(k)[~was3])  # everything jumped
+    assert set(np.unique(arr)) <= {3, 4}
+
+
+def test_filtered_probs_temperature():
+    logits = jnp.array([[1.0, 2.0, 3.0]])
+    p_hot = solvers._filtered_probs(logits, 0.5, None, None)
+    p_cold = solvers._filtered_probs(logits, 2.0, None, None)
+    # lower temperature -> sharper
+    assert float(p_hot.max()) > float(p_cold.max())
+    np.testing.assert_allclose(float(p_hot.sum()), 1.0, rtol=1e-6)
+
+
+def test_simulate_trajectory_shapes():
+    """Trajectory return stacks the full path (for the tutorial plots)."""
+    state = _toy_state(B=4, D=2)
+    bridge = RandomTelegraphBridge(0.075, V)
+
+    def apply_fn(s):
+        return -s.continuous, jnp.zeros(s.discrete.shape[:2] + (V,))
+
+    solver = solvers.HybridSolver(apply_fn, bridge, V)
+    final, traj = solvers.simulate(jax.random.PRNGKey(5), solver, state, 7, 1e-5,
+                                   return_trajectory=True)
+    assert traj.continuous.shape == (7, 4, 2, 3)
+    assert traj.discrete.shape == (7, 4, 2, 1)
+    np.testing.assert_allclose(np.asarray(traj.continuous[-1]),
+                               np.asarray(final.continuous))
+
+
+def test_simulate_use_final_max_rates():
+    state = _toy_state(B=4, D=2)
+    bridge = RandomTelegraphBridge(0.075, V)
+    logits = jnp.zeros((4, 2, V)).at[..., 6].set(10.0)
+
+    def apply_fn(s):
+        return jnp.zeros_like(s.continuous), logits
+
+    solver = solvers.HybridSolver(apply_fn, bridge, V)
+    final = solvers.simulate(jax.random.PRNGKey(6), solver, state, 5, 1e-5,
+                             use_final_max_rates=True)
+    # rate is maximized at the model's peaked state
+    assert np.all(np.asarray(final.discrete)[..., 0] == 6)

@@ -1,0 +1,143 @@
+"""Training-system tests: systems, train step, sharded step, trainer fit,
+checkpoint/resume (reference parity: `model/MMF.py`, `scripts/train_mmf.py`)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_flows_tpu.config import Config
+from multimodal_flows_tpu.data.datasets import ArrayDataset
+from multimodal_flows_tpu.data.state import DataCoupling, MultiModal
+from multimodal_flows_tpu.data.toy import NGaussians, TwoMoons
+from multimodal_flows_tpu.parallel.mesh import make_mesh, shard_coupling
+from multimodal_flows_tpu.train.systems import CFM, MJB, MMF
+from multimodal_flows_tpu.train.trainer import Trainer
+from tests.conftest import make_jets
+
+
+def tiny_config(**kw):
+    base = dict(n_embd=16, n_inner=32, n_layer=1, n_layer_fused=1, n_head=2,
+                max_num_particles=6, vocab_size=9, dim_continuous=3,
+                batch_size=8, max_epochs=2, lr=1e-3, time_eps=1e-5)
+    base.update(kw)
+    return Config(**base)
+
+
+def jets_coupling(B=16, D=6):
+    jets = make_jets(B=B, D=D)
+    return DataCoupling(source=MultiModal(mask=jets.mask), target=jets)
+
+
+def test_mmf_loss_finite_and_deterministic():
+    cfg = tiny_config()
+    sys_ = MMF(cfg)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+    coupling = jax.tree.map(jnp.asarray, jets_coupling())
+    key = jax.random.PRNGKey(1)
+    loss1, m1 = sys_.loss_fn(params, coupling, key)
+    loss2, _ = sys_.loss_fn(params, coupling, key)
+    assert np.isfinite(float(loss1))
+    np.testing.assert_allclose(float(loss1), float(loss2))  # same key -> same loss
+    assert {"loss", "loss_mse", "loss_ce"} <= set(m1)
+
+
+def test_mmf_multitask_params_in_tree():
+    cfg = tiny_config(multitask_loss="time-weighted")
+    sys_ = MMF(cfg)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = ["/".join(str(p) for p in path) for path, _ in flat]
+    assert any("multitask" in n for n in names), names
+
+
+def test_cfm_and_mjb_losses():
+    cfg = tiny_config(model="KinFormer")
+    cfm = CFM(cfg)
+    p = cfm.init_params(jax.random.PRNGKey(0))
+    coupling = jax.tree.map(jnp.asarray, jets_coupling())
+    loss, _ = cfm.loss_fn(p, coupling, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+    cfg2 = tiny_config(model="FlavorFormer")
+    mjb = MJB(cfg2)
+    p2 = mjb.init_params(jax.random.PRNGKey(0))
+    loss2, _ = mjb.loss_fn(p2, coupling, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss2)) and float(loss2) > 0
+
+
+def test_train_step_reduces_loss_toy():
+    """~60 steps of the toy MMF must cut the loss (end-to-end slice)."""
+    cfg = tiny_config(model="ToyMLP", n_inner=64, n_layer=2, vocab_size=3,
+                      dim_continuous=2, max_num_particles=1, lr=1e-2,
+                      multitask_loss="sum", use_ema_weights=True)
+    sys_ = MMF(cfg)
+    trainer = Trainer(sys_, cfg, mesh=None, steps_per_epoch=60)
+    state = trainer.init_state(jax.random.PRNGKey(0), steps_per_epoch=60)
+    step = trainer.compiled_train_step()
+
+    src = NGaussians(num_points_per_gaussian=40, num_gaussians=3, seed=0).as_clouds()
+    tgt = TwoMoons(num_points_per_moon=60, seed=1).as_clouds()
+    coupling = jax.tree.map(jnp.asarray,
+                            DataCoupling(source=src, target=tgt))
+
+    losses = []
+    for i in range(60):
+        state, metrics = step(state, coupling, jax.random.fold_in(jax.random.PRNGKey(7), i))
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.1, losses[:3] + losses[-3:]
+    # EMA tracked
+    assert state.ema_params is not None
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_train_step_sharded_8_devices():
+    """Same step under an 8-device data mesh: shards the batch, psums grads."""
+    assert len(jax.devices()) == 8
+    cfg = tiny_config()
+    sys_ = MMF(cfg)
+    mesh = make_mesh()
+    trainer = Trainer(sys_, cfg, mesh=mesh, steps_per_epoch=10)
+    state = trainer.init_state(jax.random.PRNGKey(0), 10)
+    step = trainer.compiled_train_step()
+
+    coupling = shard_coupling(jets_coupling(B=16), mesh)
+    state2, metrics = step(state, coupling, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # replicated-vs-sharded agreement: loss is a global mean
+    trainer_r = Trainer(MMF(cfg), cfg, mesh=None, steps_per_epoch=10)
+    state_r = trainer_r.init_state(jax.random.PRNGKey(0), 10)
+    step_r = trainer_r.compiled_train_step()
+    _, metrics_r = step_r(state_r, jax.tree.map(jnp.asarray, jets_coupling(B=16)),
+                          jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["loss"]), float(metrics_r["loss"]),
+                               rtol=2e-4)
+
+
+def test_trainer_fit_checkpoint_resume(tmp_path):
+    cfg = tiny_config(model="ToyMLP", vocab_size=3, dim_continuous=2,
+                      max_num_particles=1, max_epochs=2, batch_size=16,
+                      multitask_loss="sum", dir=str(tmp_path), use_ema_weights=True)
+    cfg.experiment_id = "testexp"
+    sys_ = MMF(cfg)
+    trainer = Trainer(sys_, cfg, mesh=None)
+
+    src = NGaussians(num_points_per_gaussian=20, num_gaussians=3, seed=0).as_clouds()
+    tgt = TwoMoons(num_points_per_moon=30, seed=1).as_clouds()
+    ds = ArrayDataset(DataCoupling(source=src, target=tgt))
+    train_ds, val_ds = ds.split(0.8, seed=0)
+
+    state = trainer.fit(train_ds, val_ds)
+    exp = os.path.join(str(tmp_path), cfg.project, "testexp")
+    assert os.path.exists(os.path.join(exp, "checkpoints", "last"))
+    assert os.path.exists(os.path.join(exp, "checkpoints", "best"))
+    assert os.path.exists(os.path.join(exp, "metrics.jsonl"))
+
+    # resume: runs the remaining epochs without error and restores step
+    cfg2 = cfg.replace(max_epochs=3)
+    trainer2 = Trainer(MMF(cfg2), cfg2, mesh=None)
+    state2 = trainer2.fit(train_ds, val_ds, resume="last")
+    assert int(state2.step) > int(state.step) - 1
