@@ -66,8 +66,11 @@ def multihead_attention(
     """
     impl = impl or _IMPL_DEFAULT
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if on_tpu else "xla"
+        # XLA's batched attention keeps the MXU busy across the whole
+        # (B*H) batch; a Pallas grid executes sequentially per step, so a
+        # kernel is only worth it with large per-step blocks (see
+        # ops/pallas_attention.py for the batched-block variant).
+        impl = "xla"
     if impl == "pallas":
         from multimodal_flows_tpu.ops.pallas_attention import pallas_set_attention
 

@@ -107,6 +107,11 @@ class Trainer:
     def fit(self, train_ds: ArrayDataset, val_ds: ArrayDataset,
             resume: Optional[str] = None) -> TrainState:
         cfg = self.config
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            assert cfg.batch_size % n_dev == 0, (
+                f"batch_size {cfg.batch_size} must be divisible by the "
+                f"{n_dev}-device data mesh")
         spe = self._steps_per_epoch or max(num_batches(len(train_ds), cfg.batch_size), 1)
 
         key = jax.random.PRNGKey(cfg.seed)
@@ -143,15 +148,19 @@ class Trainer:
             train_metrics = _mean_metrics(accum, prefix="train_")
 
             # ---- validate (with EMA params when enabled)
-            accum = []
-            # drop_last=False: the final partial batch costs one extra compile
-            # (cached across epochs) but keeps every val jet in the metrics
+            # the tail batch is padded up to the static batch size (keeps one
+            # compiled shape and mesh-divisibility); metric means are
+            # weighted by the real jet count per batch
+            accum, weights = [], []
+            n_val = len(val_ds)
             for i, batch in enumerate(shuffle_batches(val_ds, cfg.batch_size,
-                                                      shuffle=False, drop_last=False)):
+                                                      shuffle=False, drop_last=False,
+                                                      pad_last=True)):
                 batch = shard_coupling(batch, self.mesh)
                 k = jax.random.fold_in(k_train, 1_000_000_000 + epoch * 10_000 + i)
                 accum.append(eval_fn(state, batch, k))
-            val_metrics = _mean_metrics(accum, prefix="val_")
+                weights.append(min(cfg.batch_size, n_val - i * cfg.batch_size))
+            val_metrics = _mean_metrics(accum, prefix="val_", weights=weights)
 
             epoch_metrics = {**train_metrics, **val_metrics,
                              "epoch": epoch,
@@ -169,6 +178,22 @@ class Trainer:
 
         logger.close()
         return state
+
+    # ----------------------------------------------------------- inference
+
+    def load_for_inference(self, name: str = "best", use_ema: Optional[bool] = None):
+        """Restore a checkpoint slot and return the parameters to predict
+        with (EMA when enabled — the reference applies EMA weights in
+        `EMACallback.on_predict_start`, `utils/callbacks.py:182-201`)."""
+        cfg = self.config
+        spe = self._steps_per_epoch or 1
+        state = self.init_state(jax.random.PRNGKey(0), spe)
+        ckpt = CheckpointManager(os.path.join(cfg.experiment_dir, "checkpoints"))
+        restored = ckpt.load(self._to_ckpt(state), name=name)
+        want_ema = cfg.use_ema_weights if use_ema is None else use_ema
+        if want_ema and "ema_params" in restored:
+            return restored["ema_params"]
+        return restored["params"]
 
     # -------------------------------------------------------- ckpt mapping
 
@@ -188,10 +213,16 @@ class Trainer:
         )
 
 
-def _mean_metrics(accum, prefix: str = "") -> Dict[str, float]:
+def _mean_metrics(accum, prefix: str = "", weights=None) -> Dict[str, float]:
     if not accum:
         return {}
+    if weights is None:
+        w = np.ones(len(accum))
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+    w = w / w.sum()
     out = {}
     for k in accum[0]:
-        out[prefix + k] = float(jnp.mean(jnp.stack([jnp.asarray(m[k]) for m in accum])))
+        vals = np.asarray([float(m[k]) for m in accum])
+        out[prefix + k] = float((vals * w).sum())
     return out

@@ -1,0 +1,103 @@
+"""Sampling CLI: generate AOJ jets from a trained MMF experiment.
+
+Flag-compatible re-design of the reference generation entry point
+(`scripts/sample_mmf.py:16-168`): loads the persisted experiment config and
+checkpoint, builds noise sources from the test-set empirical multiplicity
+masks, sweeps num_files x temperature x num_timesteps, and writes
+`generation_results_{tag}/generated_sample.h5`.  Each sweep point runs as
+one compiled `lax.scan` per batch on the device mesh (no per-step Python).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multimodal_flows_tpu.config import Config
+from multimodal_flows_tpu.data.aoj import AspenOpenJets, sample_from_empirical_masks
+from multimodal_flows_tpu.sampling.generator import run_generation_sweep
+from multimodal_flows_tpu.train.systems import build_system
+from multimodal_flows_tpu.train.trainer import Trainer
+from multimodal_flows_tpu.utils.logger import SimpleLogger as log
+
+
+def experiment_configs(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_nodes", "-N", type=int, default=1)
+    p.add_argument("--dir", type=str, default="./experiments")
+    p.add_argument("--project", "-proj", type=str, default="aoj_jets")
+    p.add_argument("--experiment_id", "-id", type=str, required=True)
+    p.add_argument("--data_files", "-f", type=str, default="RunG_batch0.h5")
+    p.add_argument("--continuous_features", "-cont", type=str, nargs="*",
+                   default=["pt", "eta_rel", "phi_rel"])
+    p.add_argument("--discrete_features", "-disc", type=str, default="tokens")
+    p.add_argument("--batch_size", "-bs", type=int, default=256)
+    p.add_argument("--tag", "-t", type=str, default="")
+    p.add_argument("--checkpoint", "-ckpt", type=str, default="best")
+    p.add_argument("--num_jets", "-n", type=int, default=100_000)
+    p.add_argument("--num_timesteps", "-steps", type=int, nargs="*", default=[100])
+    p.add_argument("--temperature", "-tmp", type=float, nargs="*", default=[1.0])
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--use_final_max_rates", action="store_true", default=False)
+    p.add_argument("--num_files", type=int, default=1)
+    p.add_argument("--make_plots", "-plots", action="store_true", default=False)
+    args = p.parse_args(argv)
+
+    run_cfg = Config.load(os.path.join(args.dir, args.project, args.experiment_id))
+    # selective overrides (reference `sample_mmf.py:40-55`)
+    for k in ["dir", "project", "experiment_id", "data_files", "continuous_features",
+              "discrete_features", "batch_size", "num_jets", "top_k", "top_p",
+              "use_final_max_rates", "num_files"]:
+        setattr(run_cfg, k, getattr(args, k))
+    run_cfg.temperature = args.temperature
+    run_cfg.num_timesteps = args.num_timesteps
+    return run_cfg, args
+
+
+def main(argv=None):
+    config, args = experiment_configs(argv)
+
+    system = build_system(config, "MMF")
+    trainer = Trainer(system, config, mesh="auto")
+    params = trainer.load_for_inference(name=args.checkpoint)
+    log.info(f"loaded checkpoint {args.checkpoint!r} from {config.experiment_dir}")
+
+    # empirical multiplicity masks from the test file
+    aoj = AspenOpenJets(data_dir=config.dir_aoj, data_files=config.data_files)
+    test, _ = aoj(num_jets=config.num_jets,
+                  max_num_particles=config.max_num_particles,
+                  features={"continuous": config.continuous_features,
+                            "discrete": config.discrete_features},
+                  pt_order=True, padding="zeros")
+    pad_masks = sample_from_empirical_masks(
+        test.mask, config.num_jets, config.max_num_particles, seed=config.seed)
+
+    results = run_generation_sweep(
+        system, params, pad_masks, config,
+        temperatures=args.temperature,
+        timestep_grid=args.num_timesteps,
+        num_files=args.num_files,
+        mesh=trainer.mesh,
+    )
+
+    if args.make_plots:
+        from multimodal_flows_tpu.utils.jet_features import JetFeatures
+        from multimodal_flows_tpu.utils.plotting import (
+            flavor_kinematics, plot_flavor_feats, plot_kin_feats)
+
+        for res in results:
+            res_dir = os.path.join(config.experiment_dir, f"generation_results{res.tag}")
+            sample = res.sample
+            plot_flavor_feats(sample, test, path=os.path.join(res_dir, "plots_flavor.png"))
+            gen_feats, test_feats = JetFeatures(sample), JetFeatures(test)
+            plot_kin_feats(gen_feats, test_feats, path=os.path.join(res_dir, "plots_kin.png"))
+            flavor_kinematics(gen_feats, test_feats,
+                              path=os.path.join(res_dir, "flavor_kinematics.png"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Training CLI for the MultiModal Flow Bridge on AOJ jets.
+
+Flag-compatible re-design of the reference entry point
+(`scripts/train_mmf.py:12-180`): same flag names and defaults, same
+config.yaml round-trip for resume, but the execution engine is the
+TPU-native Trainer (jitted step over a data mesh) instead of Lightning DDP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multimodal_flows_tpu.config import Config
+from multimodal_flows_tpu.data.aoj import AspenOpenJets
+from multimodal_flows_tpu.data.datasets import ArrayDataset
+from multimodal_flows_tpu.data.state import DataCoupling, MultiModal
+from multimodal_flows_tpu.train.systems import build_system
+from multimodal_flows_tpu.train.trainer import Trainer
+from multimodal_flows_tpu.utils.logger import SimpleLogger as log
+
+
+def experiment_configs(argv=None) -> Config:
+    p = argparse.ArgumentParser()
+    # system
+    p.add_argument("--num_nodes", "-N", type=int, default=1)
+    p.add_argument("--dir", type=str, default="./experiments")
+    p.add_argument("--dir_aoj", type=str, default="./aoj")
+    p.add_argument("--project", "-proj", type=str, default="aoj_jets")
+    p.add_argument("--experiment_id", "-id", type=str, default=None)
+    p.add_argument("--ckpt_path", "-ckpt", type=str, default=None)
+    p.add_argument("--resume_ckpt", "-resume", type=str, default="last")
+    p.add_argument("--tags", type=str, nargs="*")
+    # training
+    p.add_argument("--data_files", "-f", type=str, default="RunG_batch0.h5")
+    p.add_argument("--num_jets", "-n", type=int, default=1_250_000)
+    p.add_argument("--max_num_particles", "-d", type=int, default=150)
+    p.add_argument("--batch_size", "-bs", type=int, default=256)
+    p.add_argument("--max_epochs", "-epochs", type=int, default=1500)
+    p.add_argument("--train_frac", type=float, default=0.8)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--lr_final", type=float, default=1e-5)
+    p.add_argument("--warmup_epochs", type=int, default=0)
+    p.add_argument("--use_ema_weights", "-ema", action="store_true", default=False)
+    p.add_argument("--ema_decay", type=float, default=0.9999)
+    p.add_argument("--seed", type=int, default=0)
+    # model
+    p.add_argument("--model", "-nn", type=str, default="ParticleFormer")
+    p.add_argument("--continuous_features", "-cont", type=str, nargs="*",
+                   default=["pt", "eta_rel", "phi_rel"])
+    p.add_argument("--discrete_features", "-disc", type=str, default="tokens")
+    p.add_argument("--vocab_size", type=int, default=9)
+    p.add_argument("--dim_continuous", type=int, default=3)
+    p.add_argument("--n_embd", type=int, default=256)
+    p.add_argument("--n_inner", type=int, default=512)
+    p.add_argument("--n_layer", type=int, default=5)
+    p.add_argument("--n_layer_fused", type=int, default=6)
+    p.add_argument("--n_head", type=int, default=4)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--qk_layernorm", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--bias", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--multitask_loss", "-loss", type=str, default="time-weighted")
+    p.add_argument("--use_coocurrence", action="store_true", default=False)
+    # dynamics
+    p.add_argument("--beta", "-b", type=float, default=0.075)
+    p.add_argument("--sigma", "-sig", type=float, default=1e-5)
+    p.add_argument("--time_eps", "-eps", type=float, default=1e-5)
+    # sampling defaults stored in config
+    p.add_argument("--num_timesteps", "-steps", type=int, default=100)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_p", type=float, default=None)
+    # TPU-native extras
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--attn_impl", type=str, default=None,
+                   choices=[None, "auto", "xla", "pallas"])
+
+    args = p.parse_args(argv)
+    cfg = Config(**vars(args))
+
+    if cfg.experiment_id is not None:
+        # resume: reload the persisted config, keep the resume-relevant
+        # overrides (reference `train_mmf.py:71-79`)
+        path = os.path.join(cfg.dir, cfg.project, cfg.experiment_id)
+        run_cfg = Config.load(path)
+        run_cfg.max_epochs = cfg.max_epochs
+        run_cfg.lr = cfg.lr
+        run_cfg.lr_final = cfg.lr_final
+        run_cfg.resume_ckpt = cfg.resume_ckpt
+        run_cfg.experiment_id = cfg.experiment_id
+        return run_cfg
+    return cfg
+
+
+def make_datasets(config: Config):
+    aoj = AspenOpenJets(data_dir=config.dir_aoj, data_files=config.data_files)
+    jets, metadata = aoj(
+        num_jets=config.num_jets,
+        max_num_particles=config.max_num_particles,
+        download=True,
+        features={"continuous": config.continuous_features,
+                  "discrete": config.discrete_features},
+        transform="standardize",
+        pt_order=True,
+        padding="zeros",
+    )
+    config.metadata = metadata
+    # source carries only the pad mask; x0/k0 are drawn on-device per loss call
+    coupling = DataCoupling(source=MultiModal(mask=jets.mask), target=jets)
+    return ArrayDataset(coupling).split(config.train_frac, seed=config.seed)
+
+
+def main(argv=None):
+    config = experiment_configs(argv)
+    resume = None
+    if config.experiment_id is not None:
+        resume = config.resume_ckpt
+        log.info(f"resuming experiment {config.experiment_id} from {resume!r}")
+    else:
+        config.mint_experiment_id()
+
+    train_ds, val_ds = make_datasets(config)
+    config.save()  # persist config.yaml (incl. metadata) into the experiment dir
+    log.info(f"experiment dir: {config.experiment_dir}")
+
+    system = build_system(config, "MMF")
+    trainer = Trainer(system, config)
+    trainer.fit(train_ds, val_ds, resume=resume)
+
+
+if __name__ == "__main__":
+    main()

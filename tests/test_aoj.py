@@ -1,0 +1,174 @@
+"""Golden tests for the AOJ featurization pipeline on a synthetic .h5 file
+(reference parity: `utils/aoj.py:24-320`, `:875-889`)."""
+
+import h5py
+import numpy as np
+import pytest
+
+from multimodal_flows_tpu.data.aoj import (
+    AspenOpenJets,
+    extract_metadata,
+    filter_particles,
+    map_pid_to_tokens,
+    multiplicity_histogram,
+    pt_sort,
+    sample_from_empirical_masks,
+    wrap_phi,
+)
+
+
+def write_synthetic_aoj(path, num_jets=20, max_p=12, seed=0):
+    """PFCands layout: px,py,pz,e,d0,d0Err,dz,dzErr,pid,charge."""
+    rng = np.random.default_rng(seed)
+    pf = np.zeros((num_jets, max_p, 10), dtype=np.float32)
+    pids = np.array([22, 130, -211, 211, -11, 11, -13, 13])
+    for j in range(num_jets):
+        n = rng.integers(3, max_p + 1)
+        pt = rng.uniform(1, 100, n)
+        # collimated jet: particles within a cone around a random axis
+        axis_phi = rng.uniform(-np.pi, np.pi)
+        axis_eta = rng.uniform(-1.0, 1.0)
+        phi = axis_phi + rng.uniform(-0.4, 0.4, n)
+        eta = axis_eta + rng.uniform(-0.4, 0.4, n)
+        px, py = pt * np.cos(phi), pt * np.sin(phi)
+        pz = pt * np.sinh(eta)
+        e = np.sqrt(px**2 + py**2 + pz**2)
+        pf[j, :n, 0], pf[j, :n, 1], pf[j, :n, 2], pf[j, :n, 3] = px, py, pz, e
+        pf[j, :n, 4:8] = rng.normal(size=(n, 4)) * 0.01
+        pf[j, :n, 8] = rng.choice(pids, n)
+        # one bad-pid particle in jet 0
+        if j == 0:
+            pf[j, 0, 8] = 2
+    with h5py.File(path, "w") as f:
+        f.create_dataset("PFCands", data=pf)
+    return pf
+
+
+@pytest.fixture
+def aoj_file(tmp_path):
+    path = tmp_path / "RunG_test.h5"
+    pf = write_synthetic_aoj(str(path))
+    return str(tmp_path), "RunG_test.h5", pf
+
+
+def test_map_pid_to_tokens():
+    pid = np.array([[22, 130, -211, 211, -11, 11, -13, 13, 2, 0]])
+    tok = map_pid_to_tokens(pid)
+    np.testing.assert_array_equal(tok[0], [1, 2, 3, 4, 5, 6, 7, 8, 0, 0])
+
+
+def test_filter_particles_zeroes_bad_pids():
+    pf = np.ones((1, 3, 10))
+    pf[0, 1, -2] = 2      # bad pid -> zeroed
+    pf[0, 0, -2] = 211
+    pf[0, 2, -2] = 22
+    out = filter_particles(pf)
+    assert np.all(out[0, 1] == 0)
+    assert np.all(out[0, 0] != 0)
+
+
+def test_pt_sort_descending():
+    pf = np.zeros((1, 3, 10))
+    pf[0, :, 0] = [1.0, 5.0, 3.0]  # px (py=0 -> pt=px)
+    out = pt_sort(pf)
+    np.testing.assert_allclose(out[0, :, 0], [5.0, 3.0, 1.0])
+
+
+def test_wrap_phi():
+    assert abs(wrap_phi(np.array(3 * np.pi / 2)) - (-np.pi / 2)) < 1e-9
+    assert abs(wrap_phi(np.array(-3 * np.pi / 2)) - (np.pi / 2)) < 1e-9
+
+
+def test_loader_end_to_end(aoj_file):
+    data_dir, fname, pf = aoj_file
+    aoj = AspenOpenJets(data_dir, fname)
+    jets, metadata = aoj(max_num_particles=10, transform="standardize")
+
+    B, D = jets.continuous.shape[:2]
+    assert D == 10
+    assert jets.discrete.shape == (B, D, 1)
+    assert jets.mask.shape == (B, D, 1)
+
+    m = jets.mask[..., 0] > 0
+    # pads fully zeroed
+    assert np.all(jets.continuous[~m] == 0)
+    assert np.all(jets.discrete[..., 0][~m] == 0)
+    # real tokens in 1..8
+    toks = jets.discrete[..., 0][m]
+    assert toks.min() >= 1 and toks.max() <= 8
+    # standardized real features ~ N(0,1)
+    x = jets.continuous[m]
+    np.testing.assert_allclose(x.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(x.std(0, ddof=1), 1.0, atol=1e-3)
+    # metadata round-trip fields
+    assert set(metadata) >= {"mean", "std", "min", "max", "num_jets_sample"}
+    # pT ordering within jets (destandardized)
+    pt = x if False else jets.continuous[..., 0] * metadata["std"][0] + metadata["mean"][0]
+    pt = np.where(m, pt, -np.inf)
+    real_sorted = np.all(np.diff(pt, axis=1) <= 1e-4, where=~np.isinf(pt[:, 1:]), axis=None)
+    assert real_sorted
+
+
+def test_loader_relative_coordinates(aoj_file):
+    """eta_rel/phi_rel are relative to the summed-jet axis."""
+    data_dir, fname, pf = aoj_file
+    aoj = AspenOpenJets(data_dir, fname)
+    jets, _ = aoj(max_num_particles=12, transform=None)
+    # pT-weighted centroid of phi_rel should be near 0
+    pt = jets.continuous[..., 0]
+    phi_rel = jets.continuous[..., 2]
+    centroid = (pt * phi_rel).sum(1) / pt.sum(1)
+    assert np.abs(centroid).mean() < 0.2
+
+
+def test_loader_num_jets_cap(aoj_file):
+    data_dir, fname, _ = aoj_file
+    jets, _ = AspenOpenJets(data_dir, fname)(num_jets=5, max_num_particles=8)
+    assert len(jets) == 5
+
+
+def test_loader_onehot(aoj_file):
+    data_dir, fname, _ = aoj_file
+    jets, _ = AspenOpenJets(data_dir, fname)(
+        max_num_particles=8,
+        features={"continuous": ["pt"], "discrete": "onehot"})
+    assert jets.continuous.shape[-1] == 1 + 8  # pt + 8 onehot cols
+    assert jets.discrete is None
+
+
+def test_loader_ghost_padding(aoj_file):
+    data_dir, fname, _ = aoj_file
+    jets, _ = AspenOpenJets(data_dir, fname)(max_num_particles=12, padding="ghosts")
+    # ghosts fill all slots -> full mask
+    assert np.all(jets.mask == 1)
+    assert np.all(jets.continuous[..., 0] > 0)  # all pt positive
+
+
+def test_loader_shuffled_particles(aoj_file):
+    data_dir, fname, _ = aoj_file
+    jets, _ = AspenOpenJets(data_dir, fname)(max_num_particles=12, pt_order=False)
+    pt = np.where(jets.mask[..., 0] > 0, jets.continuous[..., 0], np.nan)
+    # at least one jet not sorted descending
+    diffs = np.diff(pt, axis=1)
+    assert np.nansum(diffs > 1e-6) > 0
+
+
+def test_empirical_mask_sampler():
+    rng = np.random.default_rng(0)
+    n = rng.integers(5, 20, size=500)
+    mask = (np.arange(30)[None, :] < n[:, None]).astype(np.int64)[:, :, None]
+    out = sample_from_empirical_masks(mask, num_jets=1000, max_num_particles=30)
+    assert out.shape == (1000, 30, 1)
+    nums = out[..., 0].sum(1)
+    assert nums.min() >= 5 and nums.max() < 20
+    # first-n filling
+    first = out[0, :, 0]
+    k = first.sum()
+    assert np.all(first[:k] == 1) and np.all(first[k:] == 0)
+
+
+def test_multiplicity_histogram_density():
+    mask = np.ones((10, 5, 1), np.int64)
+    hist = multiplicity_histogram(mask, 5)
+    assert hist.sum() == pytest.approx(1.0)
+    assert hist[5] == pytest.approx(1.0)

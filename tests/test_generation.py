@@ -1,0 +1,108 @@
+"""Generation-system + CLI end-to-end tests (reference parity:
+`scripts/sample_mmf.py`, `utils/callbacks.py:14-62`)."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from multimodal_flows_tpu.config import Config
+from multimodal_flows_tpu.data.state import MultiModal
+from multimodal_flows_tpu.sampling.generator import generate, make_noise_source
+from multimodal_flows_tpu.train.systems import MMF
+from tests.test_aoj import write_synthetic_aoj
+
+
+def tiny_cfg(**kw):
+    base = dict(model="FusedParticleFormer", n_embd=16, n_inner=32, n_layer=1,
+                n_layer_fused=1, n_head=2, max_num_particles=6, vocab_size=9,
+                dim_continuous=3, batch_size=8, time_eps=1e-5)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_make_noise_source():
+    cfg = tiny_cfg()
+    mask = np.zeros((4, 6, 1), np.int64)
+    mask[:, :3] = 1
+    src = make_noise_source(jax.random.PRNGKey(0), mask, cfg)
+    assert np.all(np.asarray(src.continuous)[:, 3:] == 0)
+    k = np.asarray(src.discrete)
+    assert np.all(k[:, 3:] == 0)
+    assert k[:, :3].min() >= 1 and k[:, :3].max() <= 8
+    np.testing.assert_allclose(np.asarray(src.time), cfg.time_eps)
+
+
+def test_generate_batching_and_metadata():
+    """Non-divisible num_jets exercises tail padding; metadata destandardizes."""
+    cfg = tiny_cfg()
+    sys_ = MMF(cfg)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+
+    num_jets = 19  # not divisible by batch_size=8
+    mask = np.zeros((num_jets, 6, 1), np.int64)
+    mask[:, :4] = 1
+    metadata = {"mean": [1.0, 0.0, 0.0], "std": [2.0, 1.0, 1.0]}
+
+    res = generate(sys_, params, mask, num_timesteps=3, batch_size=cfg.batch_size,
+                   metadata=metadata)
+    assert len(res.sample) == num_jets
+    assert res.sample.continuous.shape == (num_jets, 6, 3)
+    assert np.all(res.sample.continuous[mask[..., 0] == 0] == 0)
+    toks = res.sample.discrete[..., 0]
+    assert np.all(toks[mask[..., 0] == 0] == 0)
+    assert toks.max() < 9
+    assert res.jets_per_sec > 0
+
+
+@pytest.mark.slow
+def test_cli_train_then_sample(tmp_path):
+    """Full CLI round trip on a synthetic AOJ file (the reference workflow
+    train_mmf.py -> sample_mmf.py)."""
+    aoj_dir = tmp_path / "aoj"
+    aoj_dir.mkdir()
+    write_synthetic_aoj(str(aoj_dir / "RunG_batch0.h5"), num_jets=64, max_p=8)
+
+    import train_mmf, sample_mmf
+
+    exp_dir = str(tmp_path / "experiments")
+    argv = [
+        "--dir", exp_dir, "--dir_aoj", str(aoj_dir),
+        "--data_files", "RunG_batch0.h5",
+        "--num_jets", "64", "--max_num_particles", "8",
+        "--batch_size", "16", "--max_epochs", "1",
+        "--model", "FusedParticleFormer",
+        "--n_embd", "16", "--n_inner", "32", "--n_layer", "1",
+        "--n_layer_fused", "1", "--n_head", "2",
+        "--multitask_loss", "sum",
+    ]
+    train_mmf.main(argv)
+
+    # find the minted experiment id
+    proj_dir = os.path.join(exp_dir, "aoj_jets")
+    exp_ids = os.listdir(proj_dir)
+    assert len(exp_ids) == 1
+    exp_id = exp_ids[0]
+    assert os.path.exists(os.path.join(proj_dir, exp_id, "checkpoints", "best"))
+    assert os.path.exists(os.path.join(proj_dir, exp_id, "config.yaml"))
+
+    sample_mmf.main([
+        "--dir", exp_dir, "--experiment_id", exp_id,
+        "--data_files", "RunG_batch0.h5",
+        "--num_jets", "24", "--batch_size", "16",
+        "--num_timesteps", "4", "--temperature", "1.0",
+    ])
+
+    res_dirs = [d for d in os.listdir(os.path.join(proj_dir, exp_id))
+                if d.startswith("generation_results")]
+    assert len(res_dirs) == 1
+    sample = MultiModal.load_from(
+        os.path.join(proj_dir, exp_id, res_dirs[0], "generated_sample.h5"))
+    assert len(sample) == 24
+    assert sample.continuous.shape == (24, 8, 3)
+    m = sample.mask[..., 0] > 0
+    assert np.all(sample.discrete[..., 0][~m] == 0)
