@@ -275,8 +275,11 @@ class MJB:
                         return_trajectory=return_trajectory)
 
 
-SYSTEM_REGISTRY = {"MMF": MMF, "CFM": CFM, "MJB": MJB}
-
-
 def build_system(config: Config, kind: str = "MMF"):
-    return SYSTEM_REGISTRY[kind](config)
+    from multimodal_flows_tpu.train.gpt import GPT
+
+    registry = {"MMF": MMF, "CFM": CFM, "MJB": MJB, "GPT": GPT}
+    return registry[kind](config)
+
+
+SYSTEM_REGISTRY = {"MMF": MMF, "CFM": CFM, "MJB": MJB}

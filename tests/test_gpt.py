@@ -1,0 +1,94 @@
+"""GPT flavor-sequence baseline tests (reference parity: `model/GPT.py`,
+`utils/datasets.py:159-197`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_flows_tpu.config import Config
+from multimodal_flows_tpu.data.datasets import jet_set_to_seq, seq_to_jet_set
+from multimodal_flows_tpu.data.state import DataCoupling, MultiModal
+from multimodal_flows_tpu.train.gpt import GPT
+from tests.conftest import make_jets
+
+V = 9  # vocab_size: BOS=10, EOS=11, PAD=12
+
+
+def gpt_cfg(**kw):
+    base = dict(vocab_size=V, max_seq_length=6, n_embd=32, n_inner=64,
+                n_layer=2, n_head=2, lr=1e-2, batch_size=8)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_jet_set_to_seq_roundtrip():
+    jets = make_jets(B=6, D=6, seed=2)
+    seq_state = jet_set_to_seq(jets, V)
+    seq = np.asarray(seq_state.discrete)
+    assert seq.shape == (6, 8)  # D + BOS + one extra pad
+    assert np.all(seq[:, 0] == V + 1)            # BOS first
+    assert np.all((seq == V + 2).sum(axis=1) == 1)  # exactly one EOS
+    # EOS right after the real tokens
+    n_real = np.asarray(jets.mask)[..., 0].sum(1)
+    rows = np.arange(6)
+    assert np.all(seq[rows, n_real + 1] == V + 2)
+    # mask matches non-pad positions
+    np.testing.assert_array_equal(np.asarray(seq_state.mask), (seq != V + 3))
+
+    # back-conversion strips specials and restores the token multiset
+    back = seq_to_jet_set(seq, V, max_num_particles=6)
+    orig = np.asarray(jets.discrete)[..., 0]
+    np.testing.assert_array_equal(back, orig)
+
+
+def test_gpt_loss_and_overfit():
+    cfg = gpt_cfg()
+    sys_ = GPT(cfg)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+
+    jets = make_jets(B=16, D=6, seed=1)
+    seq = jet_set_to_seq(jets, V)
+    coupling = jax.tree.map(jnp.asarray, DataCoupling(target=seq))
+
+    loss0, m = sys_.loss_fn(params, coupling, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss0))
+    assert float(loss0) > 0
+
+    # a few SGD steps reduce the loss
+    import optax
+
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        (l, _), g = jax.value_and_grad(sys_.loss_fn, has_aux=True)(
+            params, coupling, key)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    losses = []
+    for i in range(30):
+        params, opt_state, l = step(params, opt_state, jax.random.fold_in(
+            jax.random.PRNGKey(2), i))
+        losses.append(float(l))
+    assert losses[-1] < losses[0] - 0.3, (losses[0], losses[-1])
+
+
+def test_gpt_generate_semantics():
+    cfg = gpt_cfg()
+    sys_ = GPT(cfg)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+    seq = np.asarray(sys_.generate(params, jax.random.PRNGKey(3), batch_size=12))
+    B, T = seq.shape
+    assert T == cfg.max_seq_length + 2
+    assert np.all(seq[:, 0] == V + 1)  # BOS
+    # after the first EOS everything is PAD
+    for row in seq:
+        eos = np.where(row == V + 2)[0]
+        if len(eos):
+            assert np.all(row[eos[0] + 1:] == V + 3)
+
+    jets = sys_.sample_jets(params, jax.random.PRNGKey(4), batch_size=12)
+    assert jets.shape == (12, cfg.max_seq_length)
+    assert jets.min() >= 0 and jets.max() <= V  # specials stripped
