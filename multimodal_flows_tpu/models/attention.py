@@ -36,7 +36,7 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, attn_bias: Optional[Array] = None,
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True, key_mask: Optional[Array] = None) -> Array:
         assert self.n_embd % self.n_head == 0
         B, T, C = x.shape
         hs = C // self.n_head
@@ -55,7 +55,7 @@ class SelfAttention(nn.Module):
             q = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="q_layernorm")(q)
             k = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="k_layernorm")(k)
 
-        y = multihead_attention(q, k, v, attn_bias, impl=self.attn_impl)
+        y = multihead_attention(q, k, v, attn_bias, key_mask, impl=self.attn_impl)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
         y = nn.Dense(self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
                      dtype=self.dtype, name="c_proj")(y)
@@ -118,12 +118,12 @@ class SelfAttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, attn_bias: Optional[Array] = None,
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True, key_mask: Optional[Array] = None) -> Array:
         n_inner = self.n_inner if self.n_inner is not None else 4 * self.n_embd
         h = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="ln1")(x)
         x = x + SelfAttention(self.n_embd, self.n_head, self.dropout, self.use_bias,
                               self.qk_layernorm, self.dtype, self.attn_impl,
-                              name="attn")(h, attn_bias, deterministic)
+                              name="attn")(h, attn_bias, deterministic, key_mask)
         h = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="ln2")(x)
         x = x + MLP(n_inner, dropout=self.dropout, use_bias=self.use_bias,
                     dtype=self.dtype, name="ffw")(h, deterministic)

@@ -88,6 +88,18 @@ class TimeFourierEmbedding(nn.Module):
         return jnp.concatenate([jnp.sin(x), jnp.cos(x)], axis=-1)
 
 
+def key_mask_bias(mask: Array, neg: float = -1e9) -> Array:
+    """(B, D, 1) pad mask -> compact additive key mask (B, D).
+
+    Pad *keys* are excluded from every softmax; pad *queries* produce
+    garbage rows that the loss mask discards, so no (B, 1, D, D) pair
+    tensor is needed on the default path (the reference materializes a
+    (B, n_head, D, D) boolean pair mask, `ParticleTransformers.py:64-68`).
+    """
+    m = mask[..., 0] > 0
+    return jnp.where(m, 0.0, neg).astype(jnp.float32)
+
+
 def pair_mask_bias(mask: Array, neg: float = -1e9) -> Array:
     """(B, D, 1) pad mask -> additive (B, 1, D, D) attention bias.
 

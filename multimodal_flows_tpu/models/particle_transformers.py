@@ -33,6 +33,7 @@ from multimodal_flows_tpu.models.blocks import (
     DENSE_INIT,
     EMBED_INIT,
     LayerNorm,
+    key_mask_bias,
     pair_mask_bias,
     timestep_embedding,
 )
@@ -126,10 +127,15 @@ class ParticleFormer(nn.Module):
         dt = _dtype(cfg)
         half = cfg.n_embd // 2
 
-        attn_bias = pair_mask_bias(state.mask)  # (B,1,D,D)
+        # default path: compact key-side mask (no (B,1,D,D) pair tensor);
+        # pairwise variants fold the pad pair mask into the full bias
         if cfg.use_coocurrence:
-            attn_bias = attn_bias + _CoOccurrenceBias(
+            key_mask = None
+            attn_bias = pair_mask_bias(state.mask) + _CoOccurrenceBias(
                 cfg.vocab_size, cfg.n_embd, cfg.n_head, dt, name="coocc")(state.discrete[..., 0])
+        else:
+            key_mask = key_mask_bias(state.mask)
+            attn_bias = None
 
         time_emb = timestep_embedding(state.time, half).astype(dt)[:, None, :]  # (B,1,half)
 
@@ -143,7 +149,7 @@ class ParticleFormer(nn.Module):
         for i in range(cfg.n_layer):
             x = SelfAttnBlock(half, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_x_{i}")(x, attn_bias, deterministic)
+                              name=f"block_x_{i}")(x, attn_bias, deterministic, key_mask)
             x = x + time_emb
         x = LayerNorm(dtype=dt, name="ln2_x")(x + x_skip)
 
@@ -157,7 +163,7 @@ class ParticleFormer(nn.Module):
         for i in range(cfg.n_layer):
             y = SelfAttnBlock(half, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_y_{i}")(y, attn_bias, deterministic)
+                              name=f"block_y_{i}")(y, attn_bias, deterministic, key_mask)
             y = y + time_emb
         y = LayerNorm(dtype=dt, name="ln2_y")(y + y_skip)
 
@@ -170,7 +176,7 @@ class ParticleFormer(nn.Module):
         for i in range(cfg.n_layer_fused):
             z = SelfAttnBlock(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_fuse_{i}")(z, attn_bias, deterministic)
+                              name=f"block_fuse_{i}")(z, attn_bias, deterministic, key_mask)
             z = z + time_emb2
 
         x, y = jnp.split(z, 2, axis=-1)
@@ -194,7 +200,8 @@ class FusedParticleFormer(nn.Module):
         dt = _dtype(cfg)
         half = cfg.n_embd // 2
 
-        attn_bias = pair_mask_bias(state.mask)
+        key_mask = key_mask_bias(state.mask)
+        attn_bias = None
 
         x = _EmbedMLP(cfg.n_embd, half, use_bias=cfg.bias, dtype=dt, name="wxe")(
             state.continuous.astype(dt))
@@ -212,7 +219,7 @@ class FusedParticleFormer(nn.Module):
         for i in range(cfg.n_layer):
             z = SelfAttnBlock(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_{i}")(z, attn_bias, deterministic)
+                              name=f"block_{i}")(z, attn_bias, deterministic, key_mask)
             z = z + time_emb
 
         z = LayerNorm(dtype=dt, name="ln2")(z + z_skip)
@@ -235,12 +242,15 @@ class FlavorFormer(nn.Module):
         cfg = self.config
         dt = _dtype(cfg)
 
-        attn_bias = pair_mask_bias(state.mask)
         if cfg.use_pairwise:
             lambda_u = self.param("lambda_u", nn.initializers.zeros, ())
             u_bias = _CoOccurrenceBias(cfg.vocab_size, cfg.n_embd, cfg.n_head, dt,
                                        name="pairwise")(state.discrete[..., 0])
-            attn_bias = attn_bias + lambda_u * u_bias
+            attn_bias = pair_mask_bias(state.mask) + lambda_u * u_bias
+            key_mask = None
+        else:
+            attn_bias = None
+            key_mask = key_mask_bias(state.mask)
 
         tok = _EmbedMLP(cfg.n_embd, cfg.n_embd, vocab_size=cfg.vocab_size,
                         use_bias=cfg.bias, dtype=dt, name="wte")(state.discrete[..., 0])
@@ -260,7 +270,7 @@ class FlavorFormer(nn.Module):
         for i in range(cfg.n_layer):
             f = SelfAttnBlock(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_{i}")(f, attn_bias, deterministic)
+                              name=f"block_{i}")(f, attn_bias, deterministic, key_mask)
             f = f + time_emb
 
         f = LayerNorm(dtype=dt, name="ln2")(f + f_skip)
@@ -307,8 +317,9 @@ class KinFormer(nn.Module):
         cfg = self.config
         dt = _dtype(cfg)
 
-        attn_bias = pair_mask_bias(state.mask)
         if cfg.use_pairwise:
+            attn_bias = pair_mask_bias(state.mask)
+            key_mask = None
             lambda_u = self.param("lambda_u", nn.initializers.zeros, ())
             meta = cfg.metadata or {}
             mu = meta.get("mean", [0.0] * cfg.dim_continuous)
@@ -325,6 +336,9 @@ class KinFormer(nn.Module):
                          name="wue_proj_out")(u)                       # (B,D,D,H)
             u = 0.5 * (u + u.transpose(0, 2, 1, 3))
             attn_bias = attn_bias + lambda_u * u.transpose(0, 3, 1, 2).astype(jnp.float32)
+        else:
+            attn_bias = None
+            key_mask = key_mask_bias(state.mask)
 
         x = _EmbedMLP(cfg.n_embd, cfg.n_embd, use_bias=cfg.bias, dtype=dt, name="wxe")(
             state.continuous.astype(dt))
@@ -344,7 +358,7 @@ class KinFormer(nn.Module):
         for i in range(cfg.n_layer):
             h = SelfAttnBlock(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_{i}")(h, attn_bias, deterministic)
+                              name=f"block_{i}")(h, attn_bias, deterministic, key_mask)
             h = h + time_emb
 
         h = LayerNorm(dtype=dt, name="ln2")(h + h_skip)

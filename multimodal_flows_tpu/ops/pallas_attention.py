@@ -1,21 +1,25 @@
-"""Pallas TPU kernel: biased set attention for jet-scale sequences.
+"""Pallas TPU kernel: fused masked set attention for jet-scale sequences.
 
-For particle clouds (T <= a few hundred) the entire (T, T) score matrix of
-one (batch, head) pair fits comfortably in VMEM, so instead of a streaming
-flash-attention kernel we run one fused block per (batch, head) grid cell:
+Why not classic flash attention: jets cap at T<=~150, so the whole (T, T)
+score matrix of one (batch, head) pair fits in VMEM — streaming/online
+softmax buys nothing.  What *does* cost on TPU is (a) materializing the
+(B, H, T, T) fp32 score tensors in HBM between the QK^T and PV matmuls
+(XLA cannot fuse across two dots) and (b) grid overhead: a TPU Pallas grid
+executes **sequentially**, so a naive one-(b,h)-per-step kernel serializes
+B*H tiny programs.
 
-    HBM -> VMEM:  q, k, v (T, Dh) and the additive bias tile (T, T)
-    MXU:          S = Q @ K^T * scale + bias          (fp32 accumulate)
-    VPU:          P = softmax(S)  (max-subtracted, fp32)
-    MXU:          O = P @ V
-    VMEM -> HBM:  O (T, Dh)
+This kernel therefore processes a *block* of BB jets (all H heads) per
+grid step: q/k/v blocks are DMA'd once, the per-(jet, head) score matrices
+live and die in VMEM (softmax on the VPU between two MXU dots), and only
+the (BB, H, T, Dh) outputs return to HBM.  Pad-key masking is applied from
+a compact (B, T) additive key-mask vector instead of a (B, 1, T, T) pair
+bias.  An optional full pairwise bias path supports the co-occurrence /
+Lund variants.
 
-The score matrix never touches HBM — the XLA fallback materializes
-(B, H, T, T) scores — and the bias is read per-(b, h) tile, supporting a
-broadcast head axis without expanding it in memory.
-
-Replaces the reference's flash-attention call
-(`networks/attention.py:68-69`) for the D=150 AOJ workload.
+Training support: `pallas_set_attention` carries a custom VJP whose
+backward recomputes the standard attention formula in XLA — forward pays
+the fused kernel, backward pays the (rare) full-materialization cost only
+during training.
 """
 
 from __future__ import annotations
@@ -30,82 +34,140 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32)  # (T, Dh)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, T) = Q @ K^T
-    s = s * scale
-    if bias_ref is not None:
-        s = s + bias_ref[0, 0].astype(jnp.float32)
-
-    s_max = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - s_max)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
-
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)  # (T, Dh)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+DEFAULT_BLOCK_B = 8  # needs the raised vmem_limit: lane padding (Dh 64->128)
+                     # makes an 8x4x150x64 fp32 block ~2.4MB in VMEM
 
 
-def pallas_set_attention(
-    q: Array,
-    k: Array,
-    v: Array,
-    bias: Optional[Array] = None,
-    *,
-    interpret: bool = False,
-) -> Array:
-    """Fused biased attention. q, k, v: (B, H, T, Dh); bias broadcastable to
-    (B, H, T, T) (head and/or batch axes may be 1)."""
+def _kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, o_ref, *, scale: float,
+            block_b: int, n_head: int):
+    """One grid step: BB jets x H heads, scores resident in VMEM."""
+    for b in range(block_b):
+        for h in range(n_head):
+            q = q_ref[b, h].astype(jnp.float32)   # (T, Dh)
+            k = k_ref[b, h].astype(jnp.float32)
+            v = v_ref[b, h].astype(jnp.float32)
+
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (T, T)
+            s = s * scale
+            if mask_ref is not None:
+                s = s + mask_ref[b, 0][None, :]               # additive key mask
+            if bias_ref is not None:
+                s = s + bias_ref[b, h].astype(jnp.float32)
+
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+            o_ref[b, h] = jnp.dot(p, v, preferred_element_type=jnp.float32
+                                  ).astype(o_ref.dtype)
+
+
+def _pallas_forward(q: Array, k: Array, v: Array, key_mask: Optional[Array],
+                    bias: Optional[Array], block_b: int) -> Array:
     B, H, T, Dh = q.shape
     scale = 1.0 / float(Dh) ** 0.5
-
-    grid = (B, H)
+    block_b = min(block_b, B)
+    assert B % block_b == 0, f"batch {B} not divisible by block {block_b}"
+    grid = (B // block_b,)
 
     def qkv_spec():
-        return pl.BlockSpec((1, 1, T, Dh), lambda b, h: (b, h, 0, 0),
+        return pl.BlockSpec((block_b, H, T, Dh), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [qkv_spec(), qkv_spec(), qkv_spec()]
     args = [q, k, v]
 
-    if bias is not None:
-        Bb, Hb = bias.shape[0], bias.shape[1]
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, T, T),
-                lambda b, h, _Bb=Bb, _Hb=Hb: (b if _Bb > 1 else 0, h if _Hb > 1 else 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        args.append(bias)
-        kernel = functools.partial(_attn_kernel, scale=scale)
-    else:
-        kernel = functools.partial(_bias_free_kernel, scale=scale)
+    if key_mask is not None:
+        # (B, 1, T) layout: a (block_b, 1, T) block keeps the last two dims
+        # equal to the array dims, satisfying Mosaic tiling rules
+        in_specs.append(pl.BlockSpec((block_b, 1, T), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(key_mask.astype(jnp.float32)[:, None, :])
 
-    out = pl.pallas_call(
+    if bias is not None:
+        Hb = bias.shape[1]
+        bias = jnp.broadcast_to(bias, (B, Hb if Hb == H else H, T, T)) \
+            if bias.shape[1] != H else bias
+        if bias.shape[0] != B:
+            bias = jnp.broadcast_to(bias, (B, H, T, T))
+        in_specs.append(pl.BlockSpec((block_b, H, T, T), lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+
+    kernel = functools.partial(
+        _dispatch_kernel, scale=scale, block_b=block_b, n_head=H,
+        has_mask=key_mask is not None, has_bias=bias is not None)
+
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, T, Dh), lambda b, h: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((block_b, H, T, Dh), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, T, Dh), v.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * (T * T * Dh * 2),
-            bytes_accessed=B * H * T * (3 * Dh + Dh) * q.dtype.itemsize
-            + (0 if bias is None else bias.size * bias.dtype.itemsize),
+            flops=4 * B * H * T * T * Dh,
+            bytes_accessed=4 * B * H * T * Dh * q.dtype.itemsize,
             transcendentals=B * H * T * T,
         ),
-        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(*args)
-    return out
 
 
-def _bias_free_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    _attn_kernel(q_ref, k_ref, v_ref, None, o_ref, scale=scale)
+def _dispatch_kernel(*refs, scale, block_b, n_head, has_mask, has_bias):
+    i = 3
+    mask_ref = refs[i] if has_mask else None
+    i += int(has_mask)
+    bias_ref = refs[i] if has_bias else None
+    i += int(has_bias)
+    o_ref = refs[i]
+    _kernel(refs[0], refs[1], refs[2], mask_ref, bias_ref, o_ref,
+            scale=scale, block_b=block_b, n_head=n_head)
+
+
+def _xla_reference(q, k, v, key_mask, bias):
+    scale = 1.0 / float(q.shape[-1]) ** 0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if key_mask is not None:
+        s = s + key_mask[:, None, None, :].astype(jnp.float32)
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def pallas_set_attention(q, k, v, key_mask=None, bias=None,
+                         block_b: int = DEFAULT_BLOCK_B):
+    """Fused biased attention. q/k/v: (B, H, T, Dh); key_mask: (B, T)
+    additive (0 / -1e9); bias: broadcastable (B, H|1, T, T)."""
+    return _pallas_forward(q, k, v, key_mask, bias, block_b)
+
+
+def _fwd(q, k, v, key_mask, bias, block_b):
+    out = _pallas_forward(q, k, v, key_mask, bias, block_b)
+    return out, (q, k, v, key_mask, bias)
+
+
+def _bwd(block_b, res, g):
+    q, k, v, key_mask, bias = res
+    # backward via XLA recompute of the reference formula
+    if bias is None:
+        _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, key_mask, None),
+                         q, k, v)
+        dq, dk, dv = vjp(g)
+        db = None
+    else:
+        _, vjp = jax.vjp(lambda q_, k_, v_, b_: _xla_reference(q_, k_, v_, key_mask, b_),
+                         q, k, v, bias)
+        dq, dk, dv, db = vjp(g)
+    dmask = None if key_mask is None else jnp.zeros_like(key_mask)
+    return dq, dk, dv, dmask, db
+
+
+pallas_set_attention.defvjp(_fwd, _bwd)

@@ -84,6 +84,22 @@ def main(argv=None):
         mesh=trainer.mesh,
     )
 
+    # W1 closure metrics vs the test sample (reference `utils/metrics.py:36-67`)
+    import json
+
+    from multimodal_flows_tpu.utils.metrics import wasserstein_flavor
+
+    for res in results:
+        res_dir = os.path.join(config.experiment_dir, f"generation_results{res.tag}")
+        w1 = wasserstein_flavor(res.sample, test,
+                                path=os.path.join(res_dir, "w1_flavor.txt"))
+        with open(os.path.join(res_dir, "metrics.json"), "w") as f:
+            json.dump({"w1_flavor": w1,
+                       "jets_per_sec": res.jets_per_sec,
+                       "num_timesteps": res.num_timesteps,
+                       "temperature": res.temperature}, f, indent=1)
+        log.info(f"{res.tag}: W1(multiplicity)={w1['multiplicity']:.4f}")
+
     if args.make_plots:
         from multimodal_flows_tpu.utils.jet_features import JetFeatures
         from multimodal_flows_tpu.utils.plotting import (
