@@ -29,6 +29,10 @@ def main():
     import jax
     import numpy as np
 
+    from multimodal_flows_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from multimodal_flows_tpu.config import Config
     from multimodal_flows_tpu.data.state import MultiModal
     from multimodal_flows_tpu.sampling.generator import make_noise_source

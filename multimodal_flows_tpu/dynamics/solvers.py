@@ -41,13 +41,33 @@ def _filtered_probs(logits: Array, temperature: float, top_k: Optional[int], top
     return probs
 
 
+def _censored_poisson(key: Array, lam: Array) -> Array:
+    """Sample min(Poisson(lam), 2) exactly via CDF inversion.
+
+    P(N=0) = e^-lam, P(N=1) = lam e^-lam, P(N>=2) = rest — two comparisons
+    against one uniform instead of `jax.random.poisson`'s rejection loops
+    (which dominate the tau-leap step cost on TPU).
+    """
+    u = jax.random.uniform(key, lam.shape, dtype=jnp.float32)
+    p0 = jnp.exp(-lam)
+    p01 = p0 * (1.0 + lam)
+    return jnp.where(u < p0, 0, jnp.where(u < p01, 1, 2)).astype(jnp.int32)
+
+
 def _poisson_tauleap_tokens(key: Array, k: Array, rates: Array, dt: Array, vocab_size: int) -> Array:
     """Poisson tau-leap with at-most-one-jump gating, mod-S shift
     (reference `solvers.py:47-54`).
 
     k: (B, D) int tokens, rates: (B, D, S), dt scalar.
+
+    Distributionally exact optimization: downstream only consumes
+    (jump_mask = sum N <= 1, net_jumps = sum N * diff).  If any N_j >= 2 the
+    element is masked, so each per-state count only matters as {0, 1, >=2}
+    — sampled here by censored-Poisson inversion instead of the reference's
+    full `torch.poisson` draw.  The joint law of (jump_mask, net_jumps) is
+    identical.
     """
-    delta_n = jax.random.poisson(key, rates * dt, dtype=jnp.int32)      # (B,D,S)
+    delta_n = _censored_poisson(key, rates * dt)                        # (B,D,S)
     jump_mask = (delta_n.sum(axis=-1) <= 1).astype(k.dtype)             # (B,D)
     diff = jnp.arange(vocab_size, dtype=k.dtype)[None, None, :] - k[:, :, None]
     net_jumps = (delta_n.astype(k.dtype) * diff).sum(axis=-1)           # (B,D)

@@ -134,10 +134,15 @@ class Trainer:
         global_step = start_epoch * spe  # python-side mirror of state.step
                                          # (avoids a device sync per key fold)
 
+        from multimodal_flows_tpu.utils.progress import EpochProgress
+
+        progress = EpochProgress()
+
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             # ---- train
             accum = []
+            progress.start_epoch(epoch, spe)
             for i, batch in enumerate(shuffle_batches(train_ds, cfg.batch_size,
                                                       seed=cfg.seed, epoch=epoch)):
                 batch = shard_coupling(batch, self.mesh)
@@ -145,6 +150,12 @@ class Trainer:
                 state, metrics = train_fn(state, batch, k)
                 accum.append(metrics)
                 global_step += 1
+                # fetch the loss only at the logging cadence (each fetch
+                # syncs the async dispatch pipeline)
+                if progress.enabled:
+                    progress.update(float(metrics["loss"])
+                                    if i % cfg.log_every_n_steps == 0 else float("nan"))
+            progress.end_epoch()
             train_metrics = _mean_metrics(accum, prefix="train_")
 
             # ---- validate (with EMA params when enabled)

@@ -59,9 +59,20 @@ def experiment_configs(argv=None):
 
 
 def main(argv=None):
+    from multimodal_flows_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     config, args = experiment_configs(argv)
 
-    system = build_system(config, "MMF")
+    kind = "MMF"
+    for t in config.tags or []:
+        if t.startswith("system:"):
+            kind = t.split(":", 1)[1]
+
+    if kind == "GPT":
+        return _sample_gpt(config, args)
+
+    system = build_system(config, kind)
     trainer = Trainer(system, config, mesh="auto")
     params = trainer.load_for_inference(name=args.checkpoint)
     log.info(f"loaded checkpoint {args.checkpoint!r} from {config.experiment_dir}")
@@ -113,6 +124,37 @@ def main(argv=None):
             plot_kin_feats(gen_feats, test_feats, path=os.path.join(res_dir, "plots_kin.png"))
             flavor_kinematics(gen_feats, test_feats,
                               path=os.path.join(res_dir, "flavor_kinematics.png"))
+
+
+def _sample_gpt(config, args):
+    """Autoregressive generation for the GPT baseline: batched compiled
+    sampling, results gathered into sample.npy (the reference's
+    GPTGeneratorCallback writes the same artifact,
+    `utils/callbacks.py:65-107`)."""
+    import jax
+    import numpy as np
+
+    system = build_system(config, "GPT")
+    trainer = Trainer(system, config, mesh=None)
+    params = trainer.load_for_inference(name=args.checkpoint)
+    log.info(f"loaded GPT checkpoint {args.checkpoint!r}")
+
+    temp = args.temperature[0] if isinstance(args.temperature, list) else args.temperature
+    chunks = []
+    bs = config.batch_size
+    n_batches = (config.num_jets + bs - 1) // bs
+    for b in range(n_batches):
+        key = jax.random.fold_in(jax.random.PRNGKey(config.seed), b)
+        chunks.append(system.sample_jets(params, key, bs, temperature=temp,
+                                         top_k=config.top_k))
+    sample = np.concatenate(chunks, axis=0)[: config.num_jets]
+
+    res_dir = os.path.join(config.experiment_dir,
+                           f"generation_results_{args.tag}_gpt_temp_{temp}")
+    os.makedirs(res_dir, exist_ok=True)
+    out = os.path.join(res_dir, "sample.npy")
+    np.save(out, sample)
+    log.info(f"wrote {sample.shape} token sample -> {out}")
 
 
 if __name__ == "__main__":

@@ -78,9 +78,20 @@ def experiment_configs(argv=None) -> Config:
                    choices=["float32", "bfloat16"])
     p.add_argument("--attn_impl", type=str, default=None,
                    choices=[None, "auto", "xla", "pallas"])
+    p.add_argument("--system", type=str, default="MMF",
+                   choices=["MMF", "CFM", "MJB", "GPT"],
+                   help="trainable system (the reference drives only MMF "
+                        "from this entry point; CFM/MJB/GPT are library "
+                        "modules there)")
 
     args = p.parse_args(argv)
-    cfg = Config(**vars(args))
+    ns = vars(args)
+    system_kind = ns.pop("system")
+    cfg = Config(**ns)
+    # record the system kind in the persisted tags so resume/sampling can
+    # rebuild the right system
+    cfg.tags = [t for t in (cfg.tags or []) if not t.startswith("system:")]
+    cfg.tags.append(f"system:{system_kind}")
 
     if cfg.experiment_id is not None:
         # resume: reload the persisted config, keep the resume-relevant
@@ -96,7 +107,14 @@ def experiment_configs(argv=None) -> Config:
     return cfg
 
 
-def make_datasets(config: Config):
+def system_kind_of(config: Config) -> str:
+    for t in config.tags or []:
+        if t.startswith("system:"):
+            return t.split(":", 1)[1]
+    return "MMF"
+
+
+def make_datasets(config: Config, system_kind: str = "MMF"):
     aoj = AspenOpenJets(data_dir=config.dir_aoj, data_files=config.data_files)
     jets, metadata = aoj(
         num_jets=config.num_jets,
@@ -109,12 +127,23 @@ def make_datasets(config: Config):
         padding="zeros",
     )
     config.metadata = metadata
-    # source carries only the pad mask; x0/k0 are drawn on-device per loss call
-    coupling = DataCoupling(source=MultiModal(mask=jets.mask), target=jets)
+
+    if system_kind == "GPT":
+        from multimodal_flows_tpu.data.datasets import jet_set_to_seq
+
+        config.max_seq_length = config.max_num_particles
+        seq = jet_set_to_seq(jets, config.vocab_size)
+        coupling = DataCoupling(target=seq)
+    else:
+        # source carries only the pad mask; x0/k0 drawn on-device per loss call
+        coupling = DataCoupling(source=MultiModal(mask=jets.mask), target=jets)
     return ArrayDataset(coupling).split(config.train_frac, seed=config.seed)
 
 
 def main(argv=None):
+    from multimodal_flows_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     config = experiment_configs(argv)
     resume = None
     if config.experiment_id is not None:
@@ -123,11 +152,12 @@ def main(argv=None):
     else:
         config.mint_experiment_id()
 
-    train_ds, val_ds = make_datasets(config)
+    kind = system_kind_of(config)
+    train_ds, val_ds = make_datasets(config, kind)
     config.save()  # persist config.yaml (incl. metadata) into the experiment dir
-    log.info(f"experiment dir: {config.experiment_dir}")
+    log.info(f"experiment dir: {config.experiment_dir} (system {kind})")
 
-    system = build_system(config, "MMF")
+    system = build_system(config, kind)
     trainer = Trainer(system, config)
     trainer.fit(train_ds, val_ds, resume=resume)
 

@@ -106,3 +106,39 @@ def test_cli_train_then_sample(tmp_path):
     assert sample.continuous.shape == (24, 8, 3)
     m = sample.mask[..., 0] > 0
     assert np.all(sample.discrete[..., 0][~m] == 0)
+
+
+@pytest.mark.slow
+def test_cli_train_sample_gpt(tmp_path):
+    """--system GPT path: trains the autoregressive baseline and writes
+    sample.npy (reference GPTGeneratorCallback artifact)."""
+    aoj_dir = tmp_path / "aoj"
+    aoj_dir.mkdir()
+    write_synthetic_aoj(str(aoj_dir / "RunG_batch0.h5"), num_jets=64, max_p=8)
+
+    import train_mmf, sample_mmf
+
+    exp_dir = str(tmp_path / "experiments")
+    train_mmf.main([
+        "--dir", exp_dir, "--dir_aoj", str(aoj_dir),
+        "--num_jets", "64", "--max_num_particles", "8",
+        "--batch_size", "16", "--max_epochs", "1",
+        "--system", "GPT",
+        "--n_embd", "16", "--n_inner", "32", "--n_layer", "1", "--n_head", "2",
+    ])
+
+    proj_dir = os.path.join(exp_dir, "aoj_jets")
+    exp_id = os.listdir(proj_dir)[0]
+
+    sample_mmf.main([
+        "--dir", exp_dir, "--experiment_id", exp_id,
+        "--num_jets", "20", "--batch_size", "16",
+        "--temperature", "1.0",
+    ])
+
+    res_dirs = [d for d in os.listdir(os.path.join(proj_dir, exp_id))
+                if d.startswith("generation_results")]
+    assert len(res_dirs) == 1
+    sample = np.load(os.path.join(proj_dir, exp_id, res_dirs[0], "sample.npy"))
+    assert sample.shape == (20, 8)
+    assert sample.min() >= 0 and sample.max() <= 9

@@ -111,3 +111,25 @@ def test_simulate_use_final_max_rates():
                              use_final_max_rates=True)
     # rate is maximized at the model's peaked state
     assert np.all(np.asarray(final.discrete)[..., 0] == 6)
+
+
+def test_censored_poisson_matches_full_poisson_statistics():
+    """The censored draw must reproduce the joint law of
+    (jump_mask, net_jumps) that a full Poisson draw induces."""
+    key = jax.random.PRNGKey(0)
+    lam = jnp.asarray(np.random.default_rng(0).uniform(0.0, 1.5, size=(200, 50, V)),
+                      jnp.float32)
+    k = jnp.zeros((200, 50), jnp.int32)
+    diff = jnp.arange(V, dtype=jnp.int32)[None, None, :] - k[:, :, None]
+
+    def stats(delta_n):
+        jm = (delta_n.sum(-1) <= 1)
+        nj = (delta_n * diff).sum(-1)
+        return np.asarray(jm).mean(), np.asarray(jnp.where(jm, nj, 0)).mean(), \
+            np.asarray(jnp.where(jm, nj, 0)).std()
+
+    full = stats(jax.random.poisson(key, lam, dtype=jnp.int32))
+    cens = stats(solvers._censored_poisson(key, lam))
+    assert abs(full[0] - cens[0]) < 0.01
+    assert abs(full[1] - cens[1]) < 0.05
+    assert abs(full[2] - cens[2]) < 0.05
