@@ -44,11 +44,39 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_coupling(coupling: DataCoupling, mesh: Optional[Mesh]) -> DataCoupling:
     """Device-put a host batch with batch-dim sharding (replicates under a
-    trivial/absent mesh)."""
+    trivial/absent mesh).
+
+    Multi-host: each process passes its *local* slice of the global batch
+    (see `process_slice`) and the global array is assembled with
+    `jax.make_array_from_process_local_data` — the JAX-native version of
+    the reference's per-rank DataLoader sharding under DDP.
+    """
     if mesh is None:
         return jax.tree.map(jax.numpy.asarray, coupling)
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), coupling)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), coupling)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+        coupling,
+    )
+
+
+def process_slice(n: int) -> slice:
+    """This process's contiguous share of a length-n global set (host-side
+    dataset sharding for multi-host data parallelism)."""
+    per = n // jax.process_count()
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per if i < jax.process_count() - 1 else n)
+
+
+def sync_hosts(name: str = "barrier") -> None:
+    """Global barrier across hosts (reference used Lightning's
+    `trainer.strategy.barrier()`, `utils/callbacks.py:30`)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 def shard_state(state: MultiModal, mesh: Optional[Mesh]) -> MultiModal:

@@ -102,6 +102,60 @@ class Trainer:
             self._compiled["eval"] = jax.jit(self._eval_step)
         return self._compiled["eval"]
 
+    # ------------------------------------------------- epoch-compiled paths
+
+    def _train_epoch(self, state: TrainState, epoch_batches, key):
+        """One full training epoch as a single lax.scan over the
+        device-resident batch stack (n_batches leading axis).
+
+        Per-step host dispatch costs hundreds of ms over remote-TPU
+        transports; compiling the epoch reduces host<->device round trips
+        to one per epoch."""
+
+        def body(state, batch):
+            k = jax.random.fold_in(key, state.step)
+            return self._train_step(state, batch, k)
+
+        return jax.lax.scan(body, state, epoch_batches)
+
+    def _eval_epoch(self, state: TrainState, epoch_batches, key):
+        def body(i, batch):
+            k = jax.random.fold_in(key, i)
+            return i + 1, self._eval_step(state, batch, k)
+
+        _, metrics = jax.lax.scan(body, jnp.int32(0), epoch_batches)
+        return metrics
+
+    def compiled_train_epoch(self):
+        if "train_epoch" not in self._compiled:
+            self._compiled["train_epoch"] = jax.jit(self._train_epoch, donate_argnums=0)
+        return self._compiled["train_epoch"]
+
+    def compiled_eval_epoch(self):
+        if "eval_epoch" not in self._compiled:
+            self._compiled["eval_epoch"] = jax.jit(self._eval_epoch)
+        return self._compiled["eval_epoch"]
+
+    def _stack_epoch(self, ds: ArrayDataset, batch_size: int, *, shuffle: bool,
+                     seed: int = 0, epoch: int = 0, pad_last: bool = False):
+        """Host-side: gather an epoch's batches into one (n_batches, B, ...)
+        pytree and ship it to the device(s) in a single transfer."""
+        batches = list(shuffle_batches(ds, batch_size, shuffle=shuffle, seed=seed,
+                                       epoch=epoch, drop_last=not pad_last,
+                                       pad_last=pad_last))
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+        if self.mesh is None:
+            return jax.tree.map(jnp.asarray, stacked), len(batches)
+        # shard the per-step batch axis (axis 1); the scan axis stays unsharded
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        if jax.process_count() == 1:
+            put = lambda a: jax.device_put(a, sharding)
+        else:
+            put = lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a))
+        return jax.tree.map(put, stacked), len(batches)
+
     # ----------------------------------------------------------------- fit
 
     def fit(self, train_ds: ArrayDataset, val_ds: ArrayDataset,
@@ -129,49 +183,32 @@ class Trainer:
             start_epoch = int(restored["epoch"])
             log.info(f"resumed from {resume!r} at epoch {start_epoch}")
 
-        train_fn = self.compiled_train_step()
-        eval_fn = self.compiled_eval_step()
+        train_epoch_fn = self.compiled_train_epoch()
+        eval_epoch_fn = self.compiled_eval_epoch()
         global_step = start_epoch * spe  # python-side mirror of state.step
-                                         # (avoids a device sync per key fold)
 
-        from multimodal_flows_tpu.utils.progress import EpochProgress
-
-        progress = EpochProgress()
+        # the val stack is deterministic — build and ship it once
+        val_stack, n_val_batches = self._stack_epoch(
+            val_ds, cfg.batch_size, shuffle=False, pad_last=True)
+        n_val = len(val_ds)
+        val_weights = [min(cfg.batch_size, n_val - i * cfg.batch_size)
+                       for i in range(n_val_batches)]
 
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
-            # ---- train
-            accum = []
-            progress.start_epoch(epoch, spe)
-            for i, batch in enumerate(shuffle_batches(train_ds, cfg.batch_size,
-                                                      seed=cfg.seed, epoch=epoch)):
-                batch = shard_coupling(batch, self.mesh)
-                k = jax.random.fold_in(k_train, global_step)
-                state, metrics = train_fn(state, batch, k)
-                accum.append(metrics)
-                global_step += 1
-                # fetch the loss only at the logging cadence (each fetch
-                # syncs the async dispatch pipeline)
-                if progress.enabled:
-                    progress.update(float(metrics["loss"])
-                                    if i % cfg.log_every_n_steps == 0 else float("nan"))
-            progress.end_epoch()
-            train_metrics = _mean_metrics(accum, prefix="train_")
+            # ---- train: one compiled scan over the epoch's batch stack
+            epoch_stack, n_b = self._stack_epoch(
+                train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, epoch=epoch)
+            k_epoch = jax.random.fold_in(k_train, epoch)
+            state, metrics_seq = train_epoch_fn(state, epoch_stack, k_epoch)
+            train_metrics = _mean_stacked(metrics_seq, prefix="train_")
+            global_step += n_b
 
-            # ---- validate (with EMA params when enabled)
-            # the tail batch is padded up to the static batch size (keeps one
-            # compiled shape and mesh-divisibility); metric means are
-            # weighted by the real jet count per batch
-            accum, weights = [], []
-            n_val = len(val_ds)
-            for i, batch in enumerate(shuffle_batches(val_ds, cfg.batch_size,
-                                                      shuffle=False, drop_last=False,
-                                                      pad_last=True)):
-                batch = shard_coupling(batch, self.mesh)
-                k = jax.random.fold_in(k_train, 1_000_000_000 + epoch * 10_000 + i)
-                accum.append(eval_fn(state, batch, k))
-                weights.append(min(cfg.batch_size, n_val - i * cfg.batch_size))
-            val_metrics = _mean_metrics(accum, prefix="val_", weights=weights)
+            # ---- validate with EMA params when enabled (tail batch padded;
+            # means weighted by real jet count)
+            k_val = jax.random.fold_in(k_train, 1_000_000_000 + epoch)
+            val_seq = eval_epoch_fn(state, val_stack, k_val)
+            val_metrics = _mean_stacked(val_seq, prefix="val_", weights=val_weights)
 
             epoch_metrics = {**train_metrics, **val_metrics,
                              "epoch": epoch,
@@ -222,6 +259,17 @@ class Trainer:
             ema_params=restored.get("ema_params", template.ema_params),
             step=jnp.asarray(restored["step"], jnp.int32),
         )
+
+
+def _mean_stacked(metrics_seq, prefix: str = "", weights=None) -> Dict[str, float]:
+    """Mean over a scan-stacked metrics dict {name: (n_batches,)} — one
+    host fetch per epoch."""
+    ws = None if weights is None else np.asarray(weights, np.float64)
+    out = {}
+    for k, v in metrics_seq.items():
+        v = np.asarray(v, np.float64)
+        out[prefix + k] = float(v.mean() if ws is None else (v * ws).sum() / ws.sum())
+    return out
 
 
 def _mean_metrics(accum, prefix: str = "", weights=None) -> Dict[str, float]:

@@ -1,0 +1,90 @@
+"""Infra tests: checkpoint best-k slot logic, config round trip,
+LR schedule semantics, loggers (reference parity: `scripts/train_mmf.py:128-148`,
+`utils/helpers.py:14-48`, `model/MMF.py:77-110`)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_flows_tpu.config import Config
+from multimodal_flows_tpu.train.checkpoints import CheckpointManager
+from multimodal_flows_tpu.train.lr_schedules import warmup_cosine_epoch_schedule
+from multimodal_flows_tpu.utils.logger import MetricsLogger
+
+
+def test_checkpoint_best_slots(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    state1 = {"params": {"w": np.ones(3)}, "step": np.full((), 1, np.int32)}
+    state2 = {"params": {"w": np.full(3, 2.0)}, "step": np.full((), 2, np.int32)}
+    state3 = {"params": {"w": np.full(3, 3.0)}, "step": np.full((), 3, np.int32)}
+
+    w = mgr.save(state1, {"val_loss": 1.0, "val_loss_mse": 0.5, "val_loss_ce": 0.5}, epoch=1)
+    assert w["last"] and w["best"] and w["best_mse"] and w["best_ce"]
+
+    # val_loss worse, mse better -> only best_mse (and last) update
+    w = mgr.save(state2, {"val_loss": 2.0, "val_loss_mse": 0.4, "val_loss_ce": 0.9}, epoch=2)
+    assert w["last"] and not w["best"] and w["best_mse"] and not w["best_ce"]
+
+    w = mgr.save(state3, {"val_loss": 0.5, "val_loss_mse": 0.6, "val_loss_ce": 0.3}, epoch=3)
+    assert w["best"] and not w["best_mse"] and w["best_ce"]
+
+    # restore each slot and check contents
+    template = {"params": {"w": np.zeros(3)}, "step": np.full((), 0, np.int32)}
+    assert mgr.load(template, "best")["params"]["w"][0] == 3.0
+    assert mgr.load(template, "best_mse")["params"]["w"][0] == 2.0
+    assert mgr.load(template, "best_ce")["params"]["w"][0] == 3.0
+    assert mgr.load(template, "last")["params"]["w"][0] == 3.0
+
+    # index persisted and reloadable
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr2.index["best_values"]["best"]["value"] == 0.5
+    assert len(mgr2.index["history"]) == 3
+
+    with pytest.raises(FileNotFoundError):
+        mgr.load(template, "nope")
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = Config(dir=str(tmp_path), project="p", n_embd=32,
+                 metadata={"mean": [1.0, 2.0, 3.0], "std": [1, 1, 1]},
+                 tags=["system:MMF"])
+    cfg.mint_experiment_id()
+    cfg.save()
+    loaded = Config.load(cfg.experiment_dir)
+    assert loaded.n_embd == 32
+    assert loaded.metadata["mean"] == [1.0, 2.0, 3.0]
+    assert loaded.tags == ["system:MMF"]
+    assert loaded.experiment_id == cfg.experiment_id
+
+
+def test_lr_schedule_warmup_cosine():
+    spe = 10
+    sched = warmup_cosine_epoch_schedule(lr=1.0, lr_final=0.1, warmup_epochs=2,
+                                         max_epochs=12, steps_per_epoch=spe)
+    # warmup starts at 1% and ramps
+    assert float(sched(0)) == pytest.approx(0.01)
+    assert float(sched(1 * spe)) == pytest.approx(0.505, abs=1e-3)
+    # after warmup: cosine from lr
+    assert float(sched(2 * spe)) == pytest.approx(1.0)
+    # midpoint of the 10 cosine epochs
+    assert float(sched(7 * spe)) == pytest.approx(0.55, abs=1e-6)
+    # end: lr_final
+    assert float(sched(12 * spe)) == pytest.approx(0.1)
+    # staircase: constant within an epoch
+    assert float(sched(5 * spe)) == float(sched(5 * spe + spe - 1))
+
+
+def test_metrics_logger(tmp_path):
+    logger = MetricsLogger(str(tmp_path / "exp"))
+    logger.log(1, {"loss": 1.5, "epoch": 0})
+    logger.log(2, {"loss": jnp.asarray(0.5), "epoch": 1})
+    logger.close()
+    lines = open(tmp_path / "exp" / "metrics.jsonl").read().strip().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[1])["loss"] == 0.5
+    csv = open(tmp_path / "exp" / "metrics.csv").read().strip().splitlines()
+    assert csv[0].startswith("step,")
+    assert len(csv) == 3
