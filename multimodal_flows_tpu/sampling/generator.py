@@ -87,12 +87,23 @@ def generate(
 
         params = jax.device_put(params, replicated_sharding(mesh))
 
-    sim = jax.jit(
-        lambda p, k, src: system.simulate(
-            p, k, src, num_timesteps,
-            temperature=temperature, top_k=top_k, top_p=top_p,
-            use_final_max_rates=use_final_max_rates),
-    )
+    # temperature is a traced argument: sweeping T reuses the compiled
+    # program (the reference recompiles nothing but pays the full Python
+    # loop per point; here only a new `num_timesteps` recompiles).  The
+    # jitted sampler is cached on the system so repeated generate() calls
+    # in a sweep share it.
+    cache = getattr(system, "_sim_cache", None)
+    if cache is None:
+        cache = system._sim_cache = {}
+    sig = (num_timesteps, top_k, top_p, use_final_max_rates, batch_size)
+    if sig not in cache:
+        cache[sig] = jax.jit(
+            lambda p, k, src, temp: system.simulate(
+                p, k, src, num_timesteps,
+                temperature=temp, top_k=top_k, top_p=top_p,
+                use_final_max_rates=use_final_max_rates))
+    sim = cache[sig]
+    temp_arr = jnp.asarray(temperature, jnp.float32)
 
     outs: List[MultiModal] = []
     t_start = time.perf_counter()
@@ -108,7 +119,7 @@ def generate(
         k_b = jax.random.fold_in(key, b)
         source = make_noise_source(k_b, mask_b, cfg)
         source = shard_state(source, mesh)
-        final = sim(params, jax.random.fold_in(k_b, 1), source)
+        final = sim(params, jax.random.fold_in(k_b, 1), source, temp_arr)
         outs.append(final[: hi - lo])
 
     sample = MultiModal.concat(outs)
