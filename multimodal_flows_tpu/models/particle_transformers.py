@@ -299,8 +299,14 @@ def lund_observables(state: MultiModal, mu, sig) -> Array:
     deta = eta_i - eta_j
     dphi = jnp.remainder(phi_i - phi_j + jnp.pi, 2 * jnp.pi) - jnp.pi
     dR = jnp.sqrt(deta**2 + dphi**2)
-    log_dR = jnp.log(dR)
-    log_kt = jnp.log(jnp.minimum(pt_i, pt_j) * dR**2 / (pt_i * pt_j) + 1e-8)
+    # eps-regularized: the reference takes log(0) = -inf on the self-pair
+    # diagonal, which NaNs the whole bias (its `particle_interactions_emb`
+    # carries a "TODO fix", `ParticleTransformers.py:392`)
+    log_dR = jnp.log(dR + 1e-8)
+    # guarded denominator: padded particles have pt = 0 (the reference's
+    # 0/0 here NaNs pad pairs, which then poison the masked softmax)
+    kt_arg = jnp.minimum(pt_i, pt_j) * dR**2 / (pt_i * pt_j + 1e-12)
+    log_kt = jnp.log(jnp.clip(kt_arg, 0.0, None) + 1e-8)
     U = jnp.stack([log_kt, log_dR], axis=-1)  # (B,D,D,2)
     U = (U - U.mean(axis=-1, keepdims=True)) / (U.std(axis=-1, keepdims=True) + 1e-8)
     return U
