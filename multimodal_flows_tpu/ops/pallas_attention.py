@@ -20,6 +20,13 @@ Training support: `pallas_set_attention` carries a custom VJP whose
 backward recomputes the standard attention formula in XLA — forward pays
 the fused kernel, backward pays the (rare) full-materialization cost only
 during training.
+
+Status: correctness- and grad-verified on v5e (parity test in
+tests/test_ops.py), but at jet-scale shapes (T=150, Dh=64) it does not beat
+XLA — the per-(jet, head) matmuls underfill the MXU either way — and it
+crashed the TPU worker when invoked inside a nested scan (scan-of-scans
+generation).  It is therefore opt-in (`impl='pallas'`), not the default;
+revisit with larger per-step blocks if D grows.
 """
 
 from __future__ import annotations

@@ -87,43 +87,55 @@ def generate(
 
         params = jax.device_put(params, replicated_sharding(mesh))
 
-    # temperature is a traced argument: sweeping T reuses the compiled
-    # program (the reference recompiles nothing but pays the full Python
-    # loop per point; here only a new `num_timesteps` recompiles).  The
-    # jitted sampler is cached on the system so repeated generate() calls
-    # in a sweep share it.
+    # All batches run inside ONE compiled scan-of-scans: the outer scan walks
+    # the stacked pad masks (noise drawn on device per batch), the inner scan
+    # is the `num_timesteps` trajectory.  One host dispatch per generation
+    # run (per-dispatch latency over remote-TPU transports is ~0.5s).
+    # Temperature is a traced argument so sweeping T reuses the compile; the
+    # jitted sampler is cached on the system keyed by the static knobs.
+    n_batches = (num_jets + batch_size - 1) // batch_size
+    total = n_batches * batch_size
+    masks = pad_masks
+    if total > num_jets:  # pad tail to the static batch shape
+        pad = np.repeat(masks[-1:], total - num_jets, axis=0)
+        masks = np.concatenate([masks, pad], axis=0)
+    masks_stacked = masks.reshape(n_batches, batch_size, *masks.shape[1:])
+
     cache = getattr(system, "_sim_cache", None)
     if cache is None:
         cache = system._sim_cache = {}
-    sig = (num_timesteps, top_k, top_p, use_final_max_rates, batch_size)
+    sig = (num_timesteps, top_k, top_p, use_final_max_rates, batch_size,
+           n_batches, masks.shape[1])
+
     if sig not in cache:
-        cache[sig] = jax.jit(
-            lambda p, k, src, temp: system.simulate(
-                p, k, src, num_timesteps,
-                temperature=temp, top_k=top_k, top_p=top_p,
-                use_final_max_rates=use_final_max_rates))
-    sim = cache[sig]
-    temp_arr = jnp.asarray(temperature, jnp.float32)
 
-    outs: List[MultiModal] = []
+        def run_all(p, key, masks_dev, temp):
+            def body(k, mask_b):
+                k, k_noise, k_sim = jax.random.split(k, 3)
+                src = make_noise_source(k_noise, mask_b, cfg)
+                final = system.simulate(
+                    p, k_sim, src, num_timesteps, temperature=temp,
+                    top_k=top_k, top_p=top_p,
+                    use_final_max_rates=use_final_max_rates)
+                return k, final
+            _, finals = jax.lax.scan(body, key, masks_dev)
+            return finals  # leading (n_batches, batch_size, ...)
+
+        cache[sig] = jax.jit(run_all)
+    run_all = cache[sig]
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        masks_dev = jax.device_put(masks_stacked, NamedSharding(mesh, P(None, "data")))
+    else:
+        masks_dev = jnp.asarray(masks_stacked)
+
     t_start = time.perf_counter()
-    n_batches = (num_jets + batch_size - 1) // batch_size
-    for b in range(n_batches):
-        lo = b * batch_size
-        hi = min(lo + batch_size, num_jets)
-        mask_b = pad_masks[lo:hi]
-        if hi - lo < batch_size:  # pad tail to the static batch shape
-            pad = np.repeat(mask_b[-1:], batch_size - (hi - lo), axis=0)
-            mask_b = np.concatenate([mask_b, pad], axis=0)
-
-        k_b = jax.random.fold_in(key, b)
-        source = make_noise_source(k_b, mask_b, cfg)
-        source = shard_state(source, mesh)
-        final = sim(params, jax.random.fold_in(k_b, 1), source, temp_arr)
-        outs.append(final[: hi - lo])
-
-    sample = MultiModal.concat(outs)
-    jax.block_until_ready(jax.tree.leaves(sample)[0])
+    finals = run_all(params, key, masks_dev, jnp.asarray(temperature, jnp.float32))
+    sample = finals.map(lambda a: a.reshape(total, *a.shape[2:])[:num_jets])
+    # force completion (block_until_ready is unreliable over the tunnel)
+    float(jax.tree.leaves(sample)[0].ravel()[-1])
     wall = time.perf_counter() - t_start
 
     # ---- host-side finalize: destandardize + mask (reference
