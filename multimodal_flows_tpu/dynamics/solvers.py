@@ -13,7 +13,6 @@ All steps are pure: `(key, state, t, dt) -> state`.  The model is passed as
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax

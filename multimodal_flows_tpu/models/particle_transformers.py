@@ -19,7 +19,6 @@ Model heads return:
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

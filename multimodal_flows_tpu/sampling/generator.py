@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,9 +26,7 @@ import numpy as np
 import yaml
 
 from multimodal_flows_tpu.config import Config
-from multimodal_flows_tpu.data.aoj import sample_from_empirical_masks
 from multimodal_flows_tpu.data.state import MultiModal
-from multimodal_flows_tpu.parallel.mesh import shard_state
 from multimodal_flows_tpu.utils.logger import SimpleLogger as log
 
 
@@ -71,9 +69,9 @@ def generate(
 ) -> GenerationResult:
     """Generate jets for every pad mask row, batched at a static shape.
 
-    The per-batch sampler compiles once (static `num_timesteps`); the tail
-    batch is padded to `batch_size` and trimmed after, avoiding recompiles
-    (reference pays a fresh Python loop per batch).
+    The whole run is one compiled scan-of-scans (see below); the tail batch
+    is padded to `batch_size` and trimmed after, so `num_timesteps` and the
+    batch count are the only compile-relevant knobs.
     """
     cfg = system.config
     num_jets = pad_masks.shape[0]

@@ -17,8 +17,7 @@ inside the jitted loss** (the reference builds them on CPU and transfers,
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

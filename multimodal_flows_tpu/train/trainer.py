@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -25,7 +24,7 @@ from flax import struct
 
 from multimodal_flows_tpu.config import Config
 from multimodal_flows_tpu.data.datasets import ArrayDataset, num_batches, shuffle_batches
-from multimodal_flows_tpu.parallel.mesh import make_mesh, shard_coupling
+from multimodal_flows_tpu.parallel.mesh import make_mesh
 from multimodal_flows_tpu.train.checkpoints import CheckpointManager
 from multimodal_flows_tpu.train.ema import ema_update
 from multimodal_flows_tpu.train.lr_schedules import warmup_cosine_epoch_schedule
