@@ -198,7 +198,10 @@ class CFM:
         return loss, {"loss": loss, "loss_mse": loss}
 
     def simulate(self, params, key: Array, source: MultiModal, num_timesteps: int,
-                 method: str = "euler", return_trajectory: bool = False):
+                 method: str = "euler", return_trajectory: bool = False, **_ignored):
+        """Euler / Euler-Maruyama integration.  Extra hybrid-only kwargs
+        (temperature, top_k, ...) are accepted and ignored so the generic
+        generation driver can run any system."""
         solver = ContinuousSolver(
             lambda s: self.module.apply(params, s),
             diffusion_fn=lambda s: self.bridge_continuous.diffusion(s.continuous),
@@ -260,7 +263,7 @@ class MJB:
 
     def simulate(self, params, key: Array, source: MultiModal, num_timesteps: int,
                  temperature: float = 1.0, top_k=None, top_p=None,
-                 return_trajectory: bool = False):
+                 return_trajectory: bool = False, **_ignored):
         solver = DiscreteSolver(
             lambda s: self.module.apply(params, s),
             self.bridge_discrete,

@@ -142,3 +142,25 @@ def test_cli_train_sample_gpt(tmp_path):
     sample = np.load(os.path.join(proj_dir, exp_id, res_dirs[0], "sample.npy"))
     assert sample.shape == (20, 8)
     assert sample.min() >= 0 and sample.max() <= 9
+
+
+def test_generate_works_for_cfm_and_mjb():
+    """The generic generation driver runs continuous-only and discrete-only
+    systems too (the reference only wires MMF into sample_mmf.py)."""
+    from multimodal_flows_tpu.train.systems import CFM, MJB
+
+    mask = np.zeros((8, 6, 1), np.int64)
+    mask[:, :4] = 1
+
+    cfg_c = tiny_cfg(model="KinFormer")
+    cfm = CFM(cfg_c)
+    p = cfm.init_params(jax.random.PRNGKey(0))
+    res = generate(cfm, p, mask, num_timesteps=3, batch_size=8)
+    assert np.isfinite(res.sample.continuous).all()
+
+    cfg_d = tiny_cfg(model="FlavorFormer")
+    mjb = MJB(cfg_d)
+    p2 = mjb.init_params(jax.random.PRNGKey(0))
+    res2 = generate(mjb, p2, mask, num_timesteps=3, batch_size=8, temperature=0.8)
+    toks = res2.sample.discrete[..., 0]
+    assert toks.max() < 9 and np.all(toks[mask[..., 0] == 0] == 0)
