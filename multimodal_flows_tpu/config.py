@@ -96,6 +96,8 @@ class Config:
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}
     compute_dtype: str = "float32"               # or "bfloat16"
     attn_impl: Optional[str] = None              # None='auto', 'xla', 'pallas'
+    remat: bool = False                          # rematerialize attention blocks
+                                                 # (trade FLOPs for HBM at large batch)
     checkpoint_every_n_epochs: int = 1
     log_every_n_steps: int = 50
 

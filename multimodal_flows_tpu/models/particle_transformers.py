@@ -44,6 +44,15 @@ def _dtype(config: Config):
     return jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
 
 
+
+def _block_cls(config: Config):
+    """SelfAttnBlock, optionally rematerialized (`config.remat`): recompute
+    block activations in the backward pass to trade FLOPs for HBM (the
+    reference has no equivalent; useful at large global batch)."""
+    if config.remat:
+        return nn.remat(SelfAttnBlock, static_argnums=(3,))
+    return SelfAttnBlock
+
 class _EmbedMLP(nn.Module):
     """Linear/Embed -> GELU -> Linear feature embedder (reference `wxe`/`wye`,
     `ParticleTransformers.py:29-34`)."""
@@ -146,7 +155,7 @@ class ParticleFormer(nn.Module):
         x_skip = x
 
         for i in range(cfg.n_layer):
-            x = SelfAttnBlock(half, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
+            x = _block_cls(cfg)(half, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
                               name=f"block_x_{i}")(x, attn_bias, deterministic, key_mask)
             x = x + time_emb
@@ -160,7 +169,7 @@ class ParticleFormer(nn.Module):
         y_skip = y
 
         for i in range(cfg.n_layer):
-            y = SelfAttnBlock(half, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
+            y = _block_cls(cfg)(half, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
                               name=f"block_y_{i}")(y, attn_bias, deterministic, key_mask)
             y = y + time_emb
@@ -173,7 +182,7 @@ class ParticleFormer(nn.Module):
         z = nn.Dropout(cfg.dropout, deterministic=deterministic)(z + time_emb2)
 
         for i in range(cfg.n_layer_fused):
-            z = SelfAttnBlock(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
+            z = _block_cls(cfg)(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
                               name=f"block_fuse_{i}")(z, attn_bias, deterministic, key_mask)
             z = z + time_emb2
@@ -216,7 +225,7 @@ class FusedParticleFormer(nn.Module):
         z_skip = z
 
         for i in range(cfg.n_layer):
-            z = SelfAttnBlock(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
+            z = _block_cls(cfg)(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
                               name=f"block_{i}")(z, attn_bias, deterministic, key_mask)
             z = z + time_emb
@@ -267,7 +276,7 @@ class FlavorFormer(nn.Module):
         f_skip = tok
 
         for i in range(cfg.n_layer):
-            f = SelfAttnBlock(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
+            f = _block_cls(cfg)(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
                               name=f"block_{i}")(f, attn_bias, deterministic, key_mask)
             f = f + time_emb
@@ -361,7 +370,7 @@ class KinFormer(nn.Module):
         h_skip = h
 
         for i in range(cfg.n_layer):
-            h = SelfAttnBlock(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
+            h = _block_cls(cfg)(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
                               name=f"block_{i}")(h, attn_bias, deterministic, key_mask)
             h = h + time_emb

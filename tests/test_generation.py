@@ -164,3 +164,17 @@ def test_generate_works_for_cfm_and_mjb():
     res2 = generate(mjb, p2, mask, num_timesteps=3, batch_size=8, temperature=0.8)
     toks = res2.sample.discrete[..., 0]
     assert toks.max() < 9 and np.all(toks[mask[..., 0] == 0] == 0)
+
+
+def test_generate_deterministic_given_seed():
+    cfg = tiny_cfg()
+    sys_ = MMF(cfg)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+    mask = np.ones((8, 6, 1), np.int64)
+    r1 = generate(sys_, params, mask, num_timesteps=4, batch_size=8, seed=3)
+    r2 = generate(sys_, params, mask, num_timesteps=4, batch_size=8, seed=3)
+    np.testing.assert_array_equal(r1.sample.continuous, r2.sample.continuous)
+    np.testing.assert_array_equal(r1.sample.discrete, r2.sample.discrete)
+    r3 = generate(sys_, params, mask, num_timesteps=4, batch_size=8, seed=4)
+    assert not np.array_equal(r1.sample.discrete, r3.sample.discrete) or \
+        not np.array_equal(r1.sample.continuous, r3.sample.continuous)

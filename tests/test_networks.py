@@ -126,3 +126,29 @@ def test_grad_flows_through_all_models():
         g = jax.grad(loss)(params)
         gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
         assert np.isfinite(gnorm) and gnorm > 0, name
+
+
+def test_remat_equivalence():
+    """remat=True must not change outputs or gradients (only memory)."""
+    st = state_for()
+    cfg = cfg_for("ParticleFormer")
+    cfg_r = cfg_for("ParticleFormer", remat=True)
+    model = build_model(cfg)
+    model_r = build_model(cfg_r)
+    params = model.init(jax.random.PRNGKey(0), st)
+
+    out = model.apply(params, st)
+    out_r = model_r.apply(params, st)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), out, out_r)
+
+    def loss(m):
+        def f(p):
+            vt, logits = m.apply(p, st)
+            return (vt**2).sum() + (logits**2).sum()
+        return f
+
+    g = jax.grad(loss(model))(params)
+    g_r = jax.grad(loss(model_r))(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g, g_r)
