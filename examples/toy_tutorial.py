@@ -40,7 +40,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = Config(
-        model="ToyMLP", vocab_size=3, dim_continuous=2, max_num_particles=1,
+        model="ToyMLP", vocab_size=9, dim_continuous=2, max_num_particles=1,
         n_embd=64, n_inner=128, n_layer=3, batch_size=256,
         max_epochs=args.epochs, lr=2e-3, lr_final=1e-5,
         multitask_loss="sum", beta=0.075, sigma=1e-5,
@@ -48,9 +48,10 @@ def main(argv=None):
     )
     cfg.mint_experiment_id()
 
-    # toy coupling: 8 colored gaussians (source) -> colored two moons (target)
+    # toy coupling as in the reference tutorial: 8 colored gaussians (labels
+    # 1..8) -> colored two moons (labels 1..2); vocab 9 covers both plus pad
     n_src = args.num_points
-    src = NGaussians(num_points_per_gaussian=n_src // 2, num_gaussians=2, seed=0).as_clouds()
+    src = NGaussians(num_points_per_gaussian=n_src // 8, num_gaussians=8, seed=0).as_clouds()
     tgt = TwoMoons(num_points_per_moon=n_src // 2, seed=1).as_clouds()
     ds = ArrayDataset(DataCoupling(source=src, target=tgt))
     train_ds, val_ds = ds.split(0.9, seed=0)
@@ -80,7 +81,8 @@ def main(argv=None):
 
     labels = np.asarray(final.discrete)[:, 0, 0]
     freq = np.bincount(labels, minlength=cfg.vocab_size) / n
-    log.info(f"final label frequencies: {np.round(freq, 3)} (target ~[0, .5, .5])")
+    log.info(f"final label frequencies: {np.round(freq, 3)} "
+             f"(target: ~0.5 each on labels 1 and 2, ~0 elsewhere)")
 
 
 if __name__ == "__main__":

@@ -98,11 +98,9 @@ def num_batches(n: int, batch_size: int, drop_last: bool = True) -> int:
     return n // batch_size if drop_last else math.ceil(n / batch_size)
 
 
-def make_train_val_loaders(coupling: DataCoupling, batch_size: int, train_frac: float, seed: int = 0):
-    """Split a coupling and return (train_dataset, val_dataset, batch maker)."""
-    ds = ArrayDataset(coupling)
-    train_ds, val_ds = ds.split(train_frac, seed=seed)
-    return train_ds, val_ds
+def make_train_val_loaders(coupling: DataCoupling, train_frac: float, seed: int = 0):
+    """Split a coupling into (train_dataset, val_dataset)."""
+    return ArrayDataset(coupling).split(train_frac, seed=seed)
 
 
 # --------------------------------------------------------------------------
