@@ -160,6 +160,77 @@ def generate(
     )
 
 
+def generate_bucketed(
+    system,
+    params,
+    pad_masks: np.ndarray,
+    *,
+    num_timesteps: int,
+    bucket_widths=(64, 128),
+    **kw,
+) -> GenerationResult:
+    """Multiplicity-bucketed generation: pad is wasted compute.
+
+    AOJ jets average ~40 particles but the reference pads every jet to
+    D=150, so ~3/4 of the attention/dense work is zeros.  Here jets are
+    grouped by multiplicity into static-width buckets (e.g. <=64, <=128,
+    rest), each bucket runs the compiled sampler at its own width, and the
+    outputs are re-padded and reassembled in the original order.  Exactly
+    the same per-jet distribution (masked attention + masked losses make
+    the model width-agnostic); only the zero-padding work is skipped.
+
+    Not applicable with learned positional embeddings (`use_pos_emb`).
+    """
+    cfg = system.config
+    if getattr(cfg, "use_pos_emb", False):
+        # learned positional embeddings are sized to max_num_particles;
+        # widths can't change — run flat
+        return generate(system, params, pad_masks, num_timesteps=num_timesteps, **kw)
+    D = pad_masks.shape[1]
+    mult = pad_masks[..., 0].sum(axis=1)
+    # masks must be first-n filled for column truncation to be lossless
+    first_n = (pad_masks[..., 0].cumsum(axis=1) ==
+               np.minimum(np.arange(1, D + 1)[None, :], mult[:, None])).all()
+    if not first_n:
+        return generate(system, params, pad_masks, num_timesteps=num_timesteps, **kw)
+
+    widths = sorted(w for w in bucket_widths if w < D) + [D]
+    num_jets = pad_masks.shape[0]
+    order = []
+    pieces = []
+    t0 = time.perf_counter()
+    lo = 0
+    for w in widths:
+        sel = np.where((mult <= w) & (mult > lo))[0] if w != widths[0] else np.where(mult <= w)[0]
+        lo = w
+        if len(sel) == 0:
+            continue
+        res = generate(system, params, pad_masks[sel, :w], num_timesteps=num_timesteps, **kw)
+        s = res.sample
+        if w < D:  # re-pad to the global width
+            padw = D - w
+            s = MultiModal(
+                continuous=np.pad(s.continuous, ((0, 0), (0, padw), (0, 0))),
+                discrete=np.pad(s.discrete, ((0, 0), (0, padw), (0, 0))),
+                mask=np.pad(s.mask, ((0, 0), (0, padw), (0, 0))),
+            )
+        order.append(sel)
+        pieces.append(s)
+    wall = time.perf_counter() - t0
+
+    merged = MultiModal.concat([p.map(np.asarray) for p in pieces]).astype_numpy()
+    inv = np.argsort(np.concatenate(order))
+    merged = merged[inv]
+
+    return GenerationResult(
+        sample=merged,
+        jets_per_sec=num_jets / wall,
+        wall_time_s=wall,
+        num_timesteps=num_timesteps,
+        temperature=kw.get("temperature", 1.0),
+    )
+
+
 def gather_multihost(sample: MultiModal) -> MultiModal:
     """All-gather generated samples across hosts (replaces the reference's
     per-rank temp-file + barrier + concat, `callbacks.py:27-62`)."""
@@ -201,7 +272,7 @@ def run_generation_sweep(
             for steps in timestep_grid:
                 suffix = f"_{i}" if i > 0 else ""
                 tag = f"{config.tags or ''}{suffix}_steps_{steps}_temp_{temp}"
-                res = generate(
+                res = generate_bucketed(
                     system, params, test_masks,
                     num_timesteps=steps, temperature=temp,
                     top_k=config.top_k, top_p=config.top_p,
