@@ -98,6 +98,10 @@ class Config:
     attn_impl: Optional[str] = None              # None='auto', 'xla', 'pallas'
     remat: bool = False                          # rematerialize attention blocks
                                                  # (trade FLOPs for HBM at large batch)
+    bucketed_training: bool = False              # group jets by multiplicity into
+                                                 # static-width buckets (skips pad
+                                                 # compute; within-bucket batches)
+    bucket_widths: List[int] = field(default_factory=lambda: [64, 128])
     checkpoint_every_n_epochs: int = 1
     log_every_n_steps: int = 50
 

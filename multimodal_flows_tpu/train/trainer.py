@@ -135,6 +135,50 @@ class Trainer:
             self._compiled["eval_epoch"] = jax.jit(self._eval_epoch)
         return self._compiled["eval_epoch"]
 
+    # ------------------------------------------------- multiplicity buckets
+
+    @staticmethod
+    def _truncate_width(coupling, w: int):
+        """Drop pad columns beyond width w (valid for first-n masks only)."""
+        def trunc(a):
+            return a[:, :w] if (a is not None and a.ndim >= 2) else a
+
+        from multimodal_flows_tpu.data.state import DataCoupling, MultiModal
+
+        def tmm(mm):
+            return MultiModal(
+                time=mm.time,
+                continuous=trunc(mm.continuous),
+                discrete=trunc(mm.discrete),
+                mask=trunc(mm.mask),
+            )
+
+        return DataCoupling(source=tmm(coupling.source), target=tmm(coupling.target),
+                            context=coupling.context)
+
+    def _bucketize(self, ds: ArrayDataset):
+        """Split a dataset into multiplicity buckets of static widths
+        (config.bucket_widths + the full width).  Returns
+        [(width, ArrayDataset, indices)] or None when masks aren't
+        first-n filled (bucketing would drop real particles)."""
+        mask = np.asarray(ds.coupling.target.mask)
+        D = mask.shape[1]
+        mult = mask[..., 0].sum(axis=1)
+        first_n = (mask[..., 0].cumsum(axis=1) ==
+                   np.minimum(np.arange(1, D + 1)[None, :], mult[:, None])).all()
+        if not first_n:
+            return None
+        widths = sorted(w for w in self.config.bucket_widths if w < D) + [D]
+        out = []
+        lo = -1
+        for w in widths:
+            sel = np.where((mult <= w) & (mult > lo))[0]
+            lo = w
+            if len(sel):
+                out.append((w, ArrayDataset(
+                    self._truncate_width(ds.coupling[sel], w)), sel))
+        return out
+
     def _stack_epoch(self, ds: ArrayDataset, batch_size: int, *, shuffle: bool,
                      seed: int = 0, epoch: int = 0, pad_last: bool = False):
         """Host-side: gather an epoch's batches into one (n_batches, B, ...)
@@ -186,28 +230,72 @@ class Trainer:
         eval_epoch_fn = self.compiled_eval_epoch()
         global_step = start_epoch * spe  # python-side mirror of state.step
 
-        # the val stack is deterministic — build and ship it once
-        val_stack, n_val_batches = self._stack_epoch(
-            val_ds, cfg.batch_size, shuffle=False, pad_last=True)
-        n_val = len(val_ds)
-        val_weights = [min(cfg.batch_size, n_val - i * cfg.batch_size)
-                       for i in range(n_val_batches)]
+        # multiplicity bucketing (opt-in): jets grouped into static widths;
+        # one compile per width (jit re-specializes on shape), batches are
+        # within-bucket — skips the pad-column compute
+        train_buckets = val_buckets = None
+        if cfg.bucketed_training:
+            train_buckets = self._bucketize(train_ds)
+            val_buckets = self._bucketize(val_ds)
+            if train_buckets is None or val_buckets is None:
+                log.warn("bucketed_training disabled: masks are not first-n filled")
+                train_buckets = val_buckets = None
+
+        # the val stack(s) are deterministic — build and ship once
+        def build_val(ds):
+            stack, n_batches = self._stack_epoch(ds, cfg.batch_size, shuffle=False,
+                                                 pad_last=True)
+            n = len(ds)
+            weights = [min(cfg.batch_size, n - i * cfg.batch_size)
+                       for i in range(n_batches)]
+            return stack, weights
+
+        if val_buckets is None:
+            val_sets = [build_val(val_ds)]
+        else:
+            val_sets = [build_val(b_ds) for _, b_ds, _ in val_buckets]
 
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
-            # ---- train: one compiled scan over the epoch's batch stack
-            epoch_stack, n_b = self._stack_epoch(
-                train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, epoch=epoch)
+            # ---- train: one compiled scan per epoch (per bucket)
             k_epoch = jax.random.fold_in(k_train, epoch)
-            state, metrics_seq = train_epoch_fn(state, epoch_stack, k_epoch)
-            train_metrics = _mean_stacked(metrics_seq, prefix="train_")
-            global_step += n_b
+            if train_buckets is None:
+                epoch_stack, n_b = self._stack_epoch(
+                    train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, epoch=epoch)
+                state, metrics_seq = train_epoch_fn(state, epoch_stack, k_epoch)
+                train_metrics = _mean_stacked(metrics_seq, prefix="train_")
+                global_step += n_b
+            else:
+                accum, weights = [], []
+                # random bucket order per epoch (avoids a fixed curriculum)
+                rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, epoch, 77]))
+                for bi in rng.permutation(len(train_buckets)):
+                    w, b_ds, _ = train_buckets[bi]
+                    if len(b_ds) < cfg.batch_size:
+                        continue  # bucket too small for one batch this epoch
+                    stack, n_b = self._stack_epoch(
+                        b_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, epoch=epoch)
+                    state, metrics_seq = train_epoch_fn(
+                        state, stack, jax.random.fold_in(k_epoch, int(bi)))
+                    accum.append(metrics_seq)
+                    weights.append(n_b)
+                    global_step += n_b
+                train_metrics = _combine_stacked(accum, weights, prefix="train_")
 
             # ---- validate with EMA params when enabled (tail batch padded;
             # means weighted by real jet count)
             k_val = jax.random.fold_in(k_train, 1_000_000_000 + epoch)
-            val_seq = eval_epoch_fn(state, val_stack, k_val)
-            val_metrics = _mean_stacked(val_seq, prefix="val_", weights=val_weights)
+            v_accum, v_weights = [], []
+            for stack, weights in val_sets:
+                v_accum.append(eval_epoch_fn(state, stack, k_val))
+                v_weights.append(weights)
+            if len(v_accum) == 1:
+                val_metrics = _mean_stacked(v_accum[0], prefix="val_",
+                                            weights=v_weights[0])
+            else:
+                val_metrics = _combine_stacked(
+                    v_accum, [sum(w) for w in v_weights], prefix="val_",
+                    inner_weights=v_weights)
 
             epoch_metrics = {**train_metrics, **val_metrics,
                              "epoch": epoch,
@@ -258,6 +346,21 @@ class Trainer:
             ema_params=restored.get("ema_params", template.ema_params),
             step=jnp.asarray(restored["step"], jnp.int32),
         )
+
+
+def _combine_stacked(accum, weights, prefix: str = "", inner_weights=None
+                     ) -> Dict[str, float]:
+    """Weighted mean across several scan-stacked metric dicts (one per
+    bucket); `inner_weights` optionally weights within each stack."""
+    if not accum:
+        return {}
+    per = []
+    for i, m in enumerate(accum):
+        iw = inner_weights[i] if inner_weights is not None else None
+        per.append(_mean_stacked(m, prefix=prefix, weights=iw))
+    w = np.asarray(weights, np.float64)
+    w = w / w.sum()
+    return {k: float(sum(p[k] * wi for p, wi in zip(per, w))) for k in per[0]}
 
 
 def _mean_stacked(metrics_seq, prefix: str = "", weights=None) -> Dict[str, float]:

@@ -198,3 +198,39 @@ def test_cfm_mjb_end_to_end():
         out_d = mjb.simulate(p2, jax.random.PRNGKey(6), src_d, num_timesteps=4)
         toks = np.asarray(out_d.discrete)
         assert toks.min() >= 0 and toks.max() < cfg2.vocab_size, method
+
+
+def test_bucketed_training(tmp_path):
+    """bucketed_training groups jets by multiplicity into static widths and
+    still converges/checkpoints; disabled gracefully for shuffled masks."""
+    cfg = tiny_config(model="FusedParticleFormer", max_num_particles=12,
+                      batch_size=8, max_epochs=2, dir=str(tmp_path),
+                      multitask_loss="sum", bucketed_training=True,
+                      bucket_widths=[6])
+    cfg.experiment_id = "bkt"
+    jets = make_jets(B=64, D=12, seed=9)
+    ds = ArrayDataset(DataCoupling(source=MultiModal(mask=jets.mask), target=jets))
+    tr, va = ds.split(0.75, seed=0)
+
+    trainer = Trainer(MMF(cfg), cfg, mesh=None)
+    buckets = trainer._bucketize(tr)
+    assert buckets is not None and len(buckets) == 2
+    widths = [w for w, _, _ in buckets]
+    assert widths == [6, 12]
+    # truncation drops only pad columns
+    for w, b_ds, sel in buckets:
+        assert b_ds.coupling.target.continuous.shape[1] == w
+        assert (np.asarray(b_ds.coupling.target.mask)[..., 0].sum(1) <= w).all()
+
+    state = trainer.fit(tr, va)
+    assert np.isfinite(float(state.step))
+    assert os.path.exists(os.path.join(str(tmp_path), cfg.project, "bkt",
+                                       "checkpoints", "best"))
+
+    # non-first-n masks -> bucketize returns None
+    weird_mask = np.asarray(jets.mask).copy()
+    weird_mask[:, ::2] = 1 - weird_mask[:, ::2]
+    weird = ArrayDataset(DataCoupling(
+        source=MultiModal(mask=weird_mask),
+        target=jets.replace(mask=weird_mask)))
+    assert trainer._bucketize(weird) is None
