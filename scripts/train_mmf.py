@@ -83,6 +83,10 @@ def experiment_configs(argv=None) -> Config:
                    help="trainable system (the reference drives only MMF "
                         "from this entry point; CFM/MJB/GPT are library "
                         "modules there)")
+    p.add_argument("--bucketed_training", action="store_true", default=False,
+                   help="group jets by multiplicity into static-width "
+                        "buckets (2-3x faster epochs; within-bucket batches)")
+    p.add_argument("--remat", action="store_true", default=False)
 
     args = p.parse_args(argv)
     ns = vars(args)
