@@ -211,3 +211,22 @@ def test_generate_bucketed_matches_layout():
     res2 = generate_bucketed(sys_, params, weird, num_timesteps=3,
                              bucket_widths=(4, 8), batch_size=8, seed=1)
     np.testing.assert_array_equal(res2.sample.mask, weird)
+
+
+def test_generate_bucketed_sharded_mesh():
+    """Bucketed generation under the 8-device data mesh."""
+    from multimodal_flows_tpu.parallel.mesh import make_mesh
+    from multimodal_flows_tpu.sampling.generator import generate_bucketed
+
+    cfg = tiny_cfg(max_num_particles=12, batch_size=8)
+    sys_ = MMF(cfg)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    n = rng.integers(1, 13, size=24)
+    masks = (np.arange(12)[None, :] < n[:, None]).astype(np.int64)[..., None]
+
+    mesh = make_mesh()
+    res = generate_bucketed(sys_, params, masks, num_timesteps=3,
+                            bucket_widths=(4, 8), batch_size=8, mesh=mesh, seed=2)
+    assert len(res.sample) == 24
+    np.testing.assert_array_equal(res.sample.mask, masks)
