@@ -102,6 +102,8 @@ class Config:
                                                  # static-width buckets (skips pad
                                                  # compute; within-bucket batches)
     bucket_widths: List[int] = field(default_factory=lambda: [64, 128])
+    fsdp: bool = False                           # shard params + optimizer state
+                                                 # over the data axis (ZeRO-3-style)
     checkpoint_every_n_epochs: int = 1
     log_every_n_steps: int = 50
 

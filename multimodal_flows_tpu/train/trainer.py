@@ -61,6 +61,14 @@ class Trainer:
 
     def init_state(self, key, steps_per_epoch: int) -> TrainState:
         params = self.system.init_params(key)
+        if self.config.fsdp and self.mesh is not None:
+            # ZeRO-3-style: params (and everything derived from them — Adam
+            # moments, EMA) live sharded over the data axis; jit inserts the
+            # per-layer all-gathers / reduce-scatters
+            from multimodal_flows_tpu.parallel.mesh import fsdp_sharding
+
+            shardings = fsdp_sharding(params, self.mesh)
+            params = jax.tree.map(jax.device_put, params, shardings)
         self.tx = self.make_optimizer(steps_per_epoch)
         opt_state = self.tx.init(params)
         ema = jax.tree.map(jnp.copy, params) if self.config.use_ema_weights else None

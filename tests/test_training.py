@@ -234,3 +234,30 @@ def test_bucketed_training(tmp_path):
         source=MultiModal(mask=weird_mask),
         target=jets.replace(mask=weird_mask)))
     assert trainer._bucketize(weird) is None
+
+
+def test_fsdp_sharded_params_match_replicated():
+    """fsdp=True shards params/opt-state over the data axis (ZeRO-3-style);
+    the training step matches the replicated result."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    # n_embd=64 -> qkv kernels (64,192): largest axis 192 divisible by 8
+    cfg = tiny_config(n_embd=64, n_inner=64, batch_size=16)
+    cfg_f = tiny_config(n_embd=64, n_inner=64, batch_size=16, fsdp=True)
+
+    tr_r = Trainer(MMF(cfg), cfg, mesh=mesh, steps_per_epoch=10)
+    tr_f = Trainer(MMF(cfg_f), cfg_f, mesh=mesh, steps_per_epoch=10)
+    s_r = tr_r.init_state(jax.random.PRNGKey(0), 10)
+    s_f = tr_f.init_state(jax.random.PRNGKey(0), 10)
+
+    # at least one large leaf is actually sharded across devices
+    from multimodal_flows_tpu.parallel.mesh import fsdp_sharding
+    sharded_leaves = [
+        l for l in jax.tree.leaves(s_f.params)
+        if hasattr(l, "sharding") and not l.sharding.is_fully_replicated]
+    assert sharded_leaves, "no parameter leaf was sharded"
+
+    batch = shard_coupling(jets_coupling(B=16), mesh)
+    _, m_r = tr_r.compiled_train_step()(s_r, batch, jax.random.PRNGKey(1))
+    _, m_f = tr_f.compiled_train_step()(s_f, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_f["loss"]), rtol=2e-4)
