@@ -36,6 +36,37 @@ class SimpleLogger:
             warnings.filterwarnings("ignore", category=cat)
 
 
+def get_unique_dir(base_dir: str, exist_ok: bool = False) -> str:
+    """Unique directory path via integer suffixes (reference
+    `utils/helpers.py:77-86`)."""
+    if os.path.exists(base_dir) and not exist_ok:
+        counter = 1
+        candidate = f"{base_dir}_{counter}"
+        while os.path.exists(candidate):
+            counter += 1
+            candidate = f"{base_dir}_{counter}"
+        return candidate
+    return base_dir
+
+
+def setup_logging_dir(base_dir: str, exist_ok: bool = False) -> str:
+    """Create a unique run directory; in multi-host settings only process 0
+    picks the name and all hosts agree on it (reference
+    `utils/helpers.py:89-105`, which broadcast over NCCL — here the name is
+    deterministic per host via the filesystem, and hosts synchronize with a
+    collective barrier)."""
+    import jax
+
+    from multimodal_flows_tpu.parallel.mesh import sync_hosts
+
+    path = base_dir
+    if jax.process_index() == 0:
+        path = get_unique_dir(base_dir, exist_ok=exist_ok)
+        os.makedirs(path, exist_ok=True)
+    sync_hosts("setup_logging_dir")
+    return path
+
+
 class MetricSink:
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         raise NotImplementedError

@@ -88,3 +88,18 @@ def test_metrics_logger(tmp_path):
     csv = open(tmp_path / "exp" / "metrics.csv").read().strip().splitlines()
     assert csv[0].startswith("step,")
     assert len(csv) == 3
+
+
+def test_unique_dir(tmp_path):
+    from multimodal_flows_tpu.utils.logger import get_unique_dir, setup_logging_dir
+
+    base = str(tmp_path / "run")
+    assert get_unique_dir(base) == base
+    os.makedirs(base)
+    assert get_unique_dir(base) == base + "_1"
+    os.makedirs(base + "_1")
+    assert get_unique_dir(base) == base + "_2"
+    assert get_unique_dir(base, exist_ok=True) == base
+
+    out = setup_logging_dir(str(tmp_path / "exp"))
+    assert os.path.isdir(out)
