@@ -46,10 +46,12 @@ def shard_coupling(coupling: DataCoupling, mesh: Optional[Mesh]) -> DataCoupling
     """Device-put a host batch with batch-dim sharding (replicates under a
     trivial/absent mesh).
 
-    Multi-host: each process passes its *local* slice of the global batch
-    (see `process_slice`) and the global array is assembled with
-    `jax.make_array_from_process_local_data` — the JAX-native version of
-    the reference's per-rank DataLoader sharding under DDP.
+    Multi-host: every process passes the same *global* batch (all hosts
+    compute the same shuffle from the shared seed); this function keeps only
+    this process's contiguous rows (`process_batch_slice`) and assembles the
+    global array with `jax.make_array_from_process_local_data` — the
+    JAX-native version of the reference's per-rank DataLoader sharding
+    under DDP.
     """
     if mesh is None:
         return jax.tree.map(jax.numpy.asarray, coupling)
@@ -57,7 +59,8 @@ def shard_coupling(coupling: DataCoupling, mesh: Optional[Mesh]) -> DataCoupling
     if jax.process_count() == 1:
         return jax.tree.map(lambda a: jax.device_put(a, sharding), coupling)
     return jax.tree.map(
-        lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, local_batch_shard(np.asarray(a), axis=0)),
         coupling,
     )
 
@@ -91,6 +94,33 @@ def process_slice(n: int) -> slice:
     per = n // jax.process_count()
     i = jax.process_index()
     return slice(i * per, (i + 1) * per if i < jax.process_count() - 1 else n)
+
+
+def process_batch_slice(n: int, n_proc: Optional[int] = None,
+                        idx: Optional[int] = None) -> slice:
+    """This process's contiguous rows of a globally `data`-sharded batch
+    axis of length n.  Unlike `process_slice` the shares must be exactly
+    equal — `make_array_from_process_local_data` requires every process to
+    contribute the same extent along a sharded dim.
+
+    Pure given explicit (n_proc, idx), so the multi-host slicing is
+    unit-testable without multiple processes.
+    """
+    n_proc = jax.process_count() if n_proc is None else n_proc
+    idx = jax.process_index() if idx is None else idx
+    assert n % n_proc == 0, (
+        f"global batch axis {n} must divide evenly over {n_proc} processes")
+    per = n // n_proc
+    return slice(idx * per, (idx + 1) * per)
+
+
+def local_batch_shard(a: np.ndarray, axis: int, n_proc: Optional[int] = None,
+                      idx: Optional[int] = None) -> np.ndarray:
+    """Slice this process's rows of `a` along the globally-sharded `axis`
+    (the host-side half of `make_array_from_process_local_data`)."""
+    sl = [slice(None)] * a.ndim
+    sl[axis] = process_batch_slice(a.shape[axis], n_proc, idx)
+    return a[tuple(sl)]
 
 
 def sync_hosts(name: str = "barrier") -> None:

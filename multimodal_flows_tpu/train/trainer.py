@@ -164,11 +164,16 @@ class Trainer:
         return DataCoupling(source=tmm(coupling.source), target=tmm(coupling.target),
                             context=coupling.context)
 
-    def _bucketize(self, ds: ArrayDataset):
+    def _bucketize(self, ds: ArrayDataset, min_size: int = 1):
         """Split a dataset into multiplicity buckets of static widths
         (config.bucket_widths + the full width).  Returns
         [(width, ArrayDataset, indices)] or None when masks aren't
-        first-n filled (bucketing would drop real particles)."""
+        first-n filled (bucketing would drop real particles).
+
+        Buckets smaller than `min_size` (the batch size) are merged into the
+        next wider bucket — lossless, since truncation keeps all particles
+        at any width >= multiplicity — so no jet is ever systematically
+        excluded from training by the bucket partition."""
         mask = np.asarray(ds.coupling.target.mask)
         D = mask.shape[1]
         mult = mask[..., 0].sum(axis=1)
@@ -177,15 +182,37 @@ class Trainer:
         if not first_n:
             return None
         widths = sorted(w for w in self.config.bucket_widths if w < D) + [D]
-        out = []
+        raw = []
         lo = -1
         for w in widths:
             sel = np.where((mult <= w) & (mult > lo))[0]
             lo = w
             if len(sel):
-                out.append((w, ArrayDataset(
-                    self._truncate_width(ds.coupling[sel], w)), sel))
-        return out
+                raw.append((w, sel))
+
+        # merge undersized buckets upward into the next wider bucket
+        merged = []
+        carry_sel, carry_w = None, None
+        for w, sel in raw:
+            if carry_sel is not None:
+                sel = np.concatenate([carry_sel, sel])
+                carry_sel = None
+            if len(sel) < min_size:
+                carry_sel, carry_w = sel, w
+            else:
+                merged.append((w, sel))
+        if carry_sel is not None:
+            if merged:
+                # the widest bucket(s) were undersized: fold the widest
+                # surviving bucket into them at the carried (wider) width
+                w_prev, sel_prev = merged.pop()
+                merged.append((max(w_prev, carry_w),
+                               np.concatenate([sel_prev, carry_sel])))
+            else:
+                merged.append((carry_w, carry_sel))
+
+        return [(w, ArrayDataset(self._truncate_width(ds.coupling[sel], w)), sel)
+                for w, sel in merged]
 
     def _stack_epoch(self, ds: ArrayDataset, batch_size: int, *, shuffle: bool,
                      seed: int = 0, epoch: int = 0, pad_last: bool = False):
@@ -204,7 +231,12 @@ class Trainer:
         if jax.process_count() == 1:
             put = lambda a: jax.device_put(a, sharding)
         else:
-            put = lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a))
+            # every host computed the same shuffle (shared seed); keep only
+            # this process's rows of the sharded batch axis
+            from multimodal_flows_tpu.parallel.mesh import local_batch_shard
+
+            put = lambda a: jax.make_array_from_process_local_data(
+                sharding, local_batch_shard(np.asarray(a), axis=1))
         return jax.tree.map(put, stacked), len(batches)
 
     # ----------------------------------------------------------------- fit
@@ -243,7 +275,7 @@ class Trainer:
         # within-bucket — skips the pad-column compute
         train_buckets = val_buckets = None
         if cfg.bucketed_training:
-            train_buckets = self._bucketize(train_ds)
+            train_buckets = self._bucketize(train_ds, min_size=cfg.batch_size)
             val_buckets = self._bucketize(val_ds)
             if train_buckets is None or val_buckets is None:
                 log.warn("bucketed_training disabled: masks are not first-n filled")
@@ -280,7 +312,11 @@ class Trainer:
                 for bi in rng.permutation(len(train_buckets)):
                     w, b_ds, _ = train_buckets[bi]
                     if len(b_ds) < cfg.batch_size:
-                        continue  # bucket too small for one batch this epoch
+                        # only possible when the WHOLE dataset is smaller
+                        # than one batch (buckets merge up to batch_size)
+                        log.warn(f"bucket width {w}: {len(b_ds)} jets < "
+                                 f"batch_size {cfg.batch_size}; skipped")
+                        continue
                     stack, n_b = self._stack_epoch(
                         b_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, epoch=epoch)
                     state, metrics_seq = train_epoch_fn(
