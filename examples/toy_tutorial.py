@@ -33,17 +33,19 @@ from multimodal_flows_tpu.utils.plotting import plot_trajectories
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=200)
-    p.add_argument("--num_points", type=int, default=8000)
+    # notebook recipe (cell 10): 20 epochs, lr 1e-3, n_embd 128,
+    # sigma 0.1, beta 0.25, 80k-point coupling, batch 256
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--num_points", type=int, default=80_000)
     p.add_argument("--num_timesteps", type=int, default=200)
     p.add_argument("--out", type=str, default="toy_out")
     args = p.parse_args(argv)
 
     cfg = Config(
         model="ToyMLP", vocab_size=9, dim_continuous=2, max_num_particles=1,
-        n_embd=64, n_inner=128, n_layer=3, batch_size=256,
-        max_epochs=args.epochs, lr=2e-3, lr_final=1e-5,
-        multitask_loss="sum", beta=0.075, sigma=1e-5,
+        n_embd=128, n_inner=128, n_layer=3, batch_size=256,
+        max_epochs=args.epochs, lr=1e-3, lr_final=1e-5,
+        multitask_loss="sum", beta=0.25, sigma=0.1,
         dir=args.out, project="toy", seed=0,
     )
     cfg.mint_experiment_id()
@@ -60,18 +62,19 @@ def main(argv=None):
     trainer = Trainer(system, cfg, mesh=None)
     state = trainer.fit(train_ds, val_ds)
 
-    # sample trajectories from fresh gaussian/uniform noise
+    # sample trajectories starting FROM fresh 8-Gaussians draws, exactly
+    # like the notebook's generation dataloader (cell 12) — the model was
+    # trained on 8-Gaussians sources, not standard-normal noise
     n = 2000
-    key = jax.random.PRNGKey(42)
-    k1, k2, k3 = jax.random.split(key, 3)
-    mask = jnp.ones((n, 1, 1), jnp.int32)
+    gen_src = NGaussians(num_points_per_gaussian=n // 8, num_gaussians=8,
+                         seed=7).as_clouds()
     source = MultiModal(
         time=jnp.full((n,), cfg.time_eps),
-        continuous=system.bridge_continuous.draw_source(k1, jnp.zeros((n, 1, 2)), mask),
-        discrete=system.bridge_discrete.draw_source(k2, (n, 1, 1), mask),
-        mask=mask,
+        continuous=jnp.asarray(gen_src.continuous),
+        discrete=jnp.asarray(gen_src.discrete),
+        mask=jnp.ones((n, 1, 1), jnp.int32),
     )
-    final, traj = system.simulate(state.params, k3, source,
+    final, traj = system.simulate(state.params, jax.random.PRNGKey(42), source,
                                   num_timesteps=args.num_timesteps,
                                   return_trajectory=True)
 

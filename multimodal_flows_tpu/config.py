@@ -69,6 +69,12 @@ class Config:
     use_pairwise: bool = False
     n_embd_glob: int = 16
     markov_jump_solver: str = "tauleap-poisson"
+    hybrid_solver: str = "tauleap"               # reference `solvers.py:9`; "euler"
+                                                 # selects the transition-matrix step
+    class_freqs: Optional[List[float]] = None    # per-class temperature vector for
+                                                 # the hybrid euler path (reference
+                                                 # `_temperature_scaling`,
+                                                 # `solvers.py:95-99`)
 
     # GPT baseline keys (reference `model/GPT.py:12-37`)
     max_seq_length: int = 150
@@ -105,6 +111,8 @@ class Config:
     fsdp: bool = False                           # shard params + optimizer state
                                                  # over the data axis (ZeRO-3-style)
     checkpoint_every_n_epochs: int = 1
+    save_top_k: int = 10                         # best checkpoints kept per monitor
+                                                 # (reference `train_mmf.py:128-148`)
     log_every_n_steps: int = 50
 
     # ------------------------------------------------------------ helpers

@@ -40,6 +40,24 @@ def _filtered_probs(logits: Array, temperature: float, top_k: Optional[int], top
     return probs
 
 
+#: reference per-class temperature frequencies (`model/solvers.py:95`):
+#: photons/hadrons cooled (0.85), leptons heated (1.2)
+REFERENCE_CLASS_FREQS = (0.85, 0.85, 0.85, 0.85, 0.85, 1.2, 1.2, 1.2, 1.2)
+
+
+def _per_class_temperature(logits: Array, temperature, class_freqs) -> Array:
+    """Per-class temperature vector: logits / (T * freqs + 1e-8)
+    (reference `_temperature_scaling`, `model/solvers.py:95-99`).
+
+    The reference reshapes the (1,1,S) temperature to (S,1,1) before the
+    divide (`solvers.py:98`), which cannot broadcast against (B,D,S) logits
+    — here the intended (1,1,S) per-class shape is used.
+    """
+    freqs = jnp.asarray(class_freqs, jnp.float32)[None, None, :]
+    temp = jnp.asarray(temperature, jnp.float32) * freqs
+    return logits.astype(jnp.float32) / (temp + 1e-8)
+
+
 def _censored_poisson(key: Array, lam: Array) -> Array:
     """Sample min(Poisson(lam), 2) exactly via CDF inversion.
 
@@ -127,7 +145,7 @@ class HybridSolver:
     def __init__(self, apply_fn: Callable, bridge_discrete: RandomTelegraphBridge,
                  vocab_size: int, temperature: float = 1.0,
                  top_k: Optional[int] = None, top_p: Optional[float] = None,
-                 method: str = "tauleap"):
+                 method: str = "tauleap", class_freqs=None):
         self.apply_fn = apply_fn
         self.bridge = bridge_discrete
         self.vocab_size = int(vocab_size)
@@ -135,10 +153,18 @@ class HybridSolver:
         self.top_k = top_k
         self.top_p = top_p
         self.method = method
+        # per-class temperature vector, used by the euler path only (the
+        # reference euler_step calls `_temperature_scaling`,
+        # `model/solvers.py:68-69`, while tauleap_step divides by scalar T)
+        self.class_freqs = class_freqs
 
     def fwd_step(self, key: Array, state: MultiModal, dt: Array) -> Tuple[MultiModal, Array]:
         vt, logits = self.apply_fn(state)
-        probs = _filtered_probs(logits, self.temperature, self.top_k, self.top_p)
+        if self.method == "euler" and self.class_freqs is not None:
+            logits = _per_class_temperature(logits, self.temperature, self.class_freqs)
+            probs = _filtered_probs(logits, 1.0, self.top_k, self.top_p)
+        else:
+            probs = _filtered_probs(logits, self.temperature, self.top_k, self.top_p)
         k = state.discrete[..., 0]
         rates = self.bridge.rate(state.time, k, probs)                   # (B,D,S)
 

@@ -24,7 +24,15 @@ Array = jax.Array
 
 class SelfAttention(nn.Module):
     """Fused-QKV multi-head self attention with QK-LayerNorm
-    (reference `attention.py:32-74`)."""
+    (reference `attention.py:32-74`).
+
+    `dropout` is the residual dropout after c_proj; `attn_dropout` drops
+    attention probabilities (the reference passes dropout_p=config.dropout
+    into SDPA, `attention.py:69`) and defaults to `dropout` for parity.
+    Prob dropout is applied only when not deterministic — the reference
+    leaves SDPA's dropout_p unguarded, which (latent bug) would also drop
+    at eval/predict time.
+    """
 
     n_embd: int
     n_head: int
@@ -33,6 +41,7 @@ class SelfAttention(nn.Module):
     qk_layernorm: bool = True
     dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    attn_dropout: Optional[float] = None  # None -> same as dropout
 
     @nn.compact
     def __call__(self, x: Array, attn_bias: Optional[Array] = None,
@@ -55,7 +64,11 @@ class SelfAttention(nn.Module):
             q = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="q_layernorm")(q)
             k = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="k_layernorm")(k)
 
-        y = multihead_attention(q, k, v, attn_bias, key_mask, impl=self.attn_impl)
+        p_attn = self.dropout if self.attn_dropout is None else self.attn_dropout
+        rng = (self.make_rng("dropout")
+               if (p_attn > 0.0 and not deterministic) else None)
+        y = multihead_attention(q, k, v, attn_bias, key_mask, impl=self.attn_impl,
+                                dropout_rate=p_attn, dropout_rng=rng)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
         y = nn.Dense(self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
                      dtype=self.dtype, name="c_proj")(y)
@@ -105,7 +118,13 @@ class CrossAttention(nn.Module):
 
 class SelfAttnBlock(nn.Module):
     """Pre-LN residual block: x + Attn(LN(x)); x + MLP(LN(x))
-    (reference `attention.py:6-26`)."""
+    (reference `attention.py:6-26`).
+
+    `attn_dropout` (prob dropout) and `activation` exist for the GPT
+    baseline's GPT2 semantics (attn_pdrop / resid_pdrop /
+    activation_function, reference `GPT.py:31-34`); the set encoders use
+    the defaults (attn_dropout = dropout, exact GELU) for reference parity.
+    """
 
     n_embd: int
     n_head: int
@@ -115,6 +134,8 @@ class SelfAttnBlock(nn.Module):
     qk_layernorm: bool = True
     dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    attn_dropout: Optional[float] = None
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x: Array, attn_bias: Optional[Array] = None,
@@ -123,8 +144,10 @@ class SelfAttnBlock(nn.Module):
         h = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="ln1")(x)
         x = x + SelfAttention(self.n_embd, self.n_head, self.dropout, self.use_bias,
                               self.qk_layernorm, self.dtype, self.attn_impl,
+                              self.attn_dropout,
                               name="attn")(h, attn_bias, deterministic, key_mask)
         h = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="ln2")(x)
         x = x + MLP(n_inner, dropout=self.dropout, use_bias=self.use_bias,
-                    dtype=self.dtype, name="ffw")(h, deterministic)
+                    dtype=self.dtype, activation=self.activation,
+                    name="ffw")(h, deterministic)
         return x

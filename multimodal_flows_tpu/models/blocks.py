@@ -22,22 +22,38 @@ Array = jax.Array
 DENSE_INIT = nn.initializers.normal(stddev=0.02)
 EMBED_INIT = nn.initializers.normal(stddev=0.02)
 
+#: named activations (reference GPT2 `activation_function`, `GPT.py:31`)
+ACTIVATIONS = {
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),  # GPT2 tanh-approx GELU
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "tanh": jnp.tanh,
+}
+
+
+def activation_fn(name: str):
+    if name not in ACTIVATIONS:
+        raise ValueError(f"unknown activation {name!r}; one of {sorted(ACTIVATIONS)}")
+    return ACTIVATIONS[name]
+
 
 class MLP(nn.Module):
-    """fc -> GELU -> proj -> dropout (reference `utils/models.py:8-25`)."""
+    """fc -> activation -> proj -> dropout (reference `utils/models.py:8-25`)."""
 
     n_inner: int
     n_out: Optional[int] = None
     dropout: float = 0.0
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         n_out = self.n_out if self.n_out is not None else x.shape[-1]
         x = nn.Dense(self.n_inner, use_bias=self.use_bias, kernel_init=DENSE_INIT,
                      dtype=self.dtype, name="c_fc")(x)
-        x = nn.gelu(x, approximate=False)
+        x = activation_fn(self.activation)(x)
         x = nn.Dense(n_out, use_bias=self.use_bias, kernel_init=DENSE_INIT,
                      dtype=self.dtype, name="c_proj")(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)

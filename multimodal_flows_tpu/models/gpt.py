@@ -51,10 +51,16 @@ class FlavorSeqGPT(nn.Module):
         causal = jnp.tril(jnp.ones((T, T), bool))
         bias = jnp.where(causal, 0.0, -1e9).astype(jnp.float32)[None, None]
 
+        # GPT2 dropout semantics (reference `GPT.py:31-34`): attn_pdrop on
+        # attention probs, resid_pdrop after attn/MLP projections,
+        # activation_function (gelu_new = tanh-approx) in the MLP
         for i in range(cfg.n_layer):
-            h = SelfAttnBlock(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout_att,
-                              cfg.bias, qk_layernorm=False, name=f"block_{i}")(
-                h, bias, deterministic)
+            h = SelfAttnBlock(cfg.n_embd, cfg.n_head, cfg.n_inner,
+                              dropout=cfg.dropout_res,
+                              use_bias=cfg.bias, qk_layernorm=False,
+                              attn_dropout=cfg.dropout_att,
+                              activation=cfg.activation,
+                              name=f"block_{i}")(h, bias, deterministic)
 
         h = LayerNorm(name="ln_f")(h)
         return nn.Dense(self.full_vocab, use_bias=False, kernel_init=DENSE_INIT,

@@ -36,7 +36,8 @@ def set_default_impl(impl: str) -> None:
 
 
 def _xla_attention(q: Array, k: Array, v: Array, bias: Optional[Array],
-                   key_mask: Optional[Array]) -> Array:
+                   key_mask: Optional[Array], dropout_rate: float = 0.0,
+                   dropout_rng: Optional[Array] = None) -> Array:
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -46,6 +47,12 @@ def _xla_attention(q: Array, k: Array, v: Array, bias: Optional[Array],
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
     probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # attention-probability dropout (the reference passes
+        # dropout_p=config.dropout into SDPA, `networks/attention.py:69`);
+        # inverted scaling like nn.Dropout
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep.astype(probs.dtype) / (1.0 - dropout_rate)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.astype(v.dtype)
@@ -59,11 +66,16 @@ def multihead_attention(
     key_mask: Optional[Array] = None,
     *,
     impl: Optional[str] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[Array] = None,
 ) -> Array:
     """Scaled dot-product attention with additive key-mask and bias.
 
     `impl='auto'` picks the Pallas kernel on TPU when the shape qualifies
     (no full pairwise bias, block-divisible batch), else the XLA path.
+    Attention-probability dropout (`dropout_rate` with a live
+    `dropout_rng`) is XLA-only; the Pallas kernel is inference-oriented
+    and falls back to XLA when prob dropout is requested.
     """
     impl = impl or _IMPL_DEFAULT
     if impl == "auto":
@@ -72,8 +84,8 @@ def multihead_attention(
         # is stable inside nested scans; the kernel stays available via
         # impl='pallas' / config.attn_impl for larger-D workloads.
         impl = "xla"
-    if impl == "pallas":
+    if impl == "pallas" and not (dropout_rate > 0.0 and dropout_rng is not None):
         from multimodal_flows_tpu.ops.pallas_attention import pallas_set_attention
 
         return pallas_set_attention(q, k, v, key_mask, bias)
-    return _xla_attention(q, k, v, bias, key_mask)
+    return _xla_attention(q, k, v, bias, key_mask, dropout_rate, dropout_rng)

@@ -75,8 +75,11 @@ def _pallas_forward(q: Array, k: Array, v: Array, key_mask: Optional[Array],
                     bias: Optional[Array], block_b: int) -> Array:
     B, H, T, Dh = q.shape
     scale = 1.0 / float(Dh) ** 0.5
+    # largest divisor of B that fits the requested block (any batch works,
+    # e.g. B=12 -> block 6 instead of asserting on 8)
     block_b = min(block_b, B)
-    assert B % block_b == 0, f"batch {B} not divisible by block {block_b}"
+    while B % block_b != 0:
+        block_b -= 1
     grid = (B // block_b,)
 
     def qkv_spec():

@@ -27,15 +27,18 @@ MONITORS = {
 
 
 class CheckpointManager:
-    def __init__(self, ckpt_dir: str, monitors: Optional[Dict[str, str]] = None):
+    def __init__(self, ckpt_dir: str, monitors: Optional[Dict[str, str]] = None,
+                 top_k: int = 10):
         self.dir = os.path.abspath(ckpt_dir)
         os.makedirs(self.dir, exist_ok=True)
         self.monitors = dict(monitors) if monitors is not None else dict(MONITORS)
+        self.top_k = int(top_k)
         self._index_path = os.path.join(self.dir, "index.json")
         self.index: Dict[str, Any] = {"best_values": {}, "history": []}
         if os.path.exists(self._index_path):
             with open(self._index_path) as f:
                 self.index = json.load(f)
+        self.index.setdefault("topk", {})
         self._ckptr = ocp.StandardCheckpointer()
 
     # ------------------------------------------------------------------ io
@@ -58,10 +61,15 @@ class CheckpointManager:
     # ---------------------------------------------------------------- save
 
     def save(self, state, metrics: Dict[str, float], epoch: int) -> Dict[str, bool]:
-        """Save `last` and update every monitor whose metric improved.
+        """Save `last` and, per monitor, keep the `top_k` best checkpoints
+        (reference `save_top_k=10` per ModelCheckpoint,
+        `scripts/train_mmf.py:128-148`).
 
-        `state` is any pytree (train state).  Returns which slots were
-        written.
+        The plain slot directory (`best` / `best_mse` / `best_ce`) always
+        holds the #1 checkpoint; runners-up live in `{slot}-ep{epoch}`
+        directories ranked in the JSON index, worst evicted beyond k.
+        Returns which slots were written: `written[slot]` means a new #1,
+        `written[slot + "_topk"]` means the value entered the top-k.
         """
         written = {"last": True}
         self._save_to("last", state)
@@ -69,16 +77,28 @@ class CheckpointManager:
         for slot, metric in self.monitors.items():
             value = metrics.get(metric)
             if value is None:
-                written[slot] = False
+                written[slot] = written[slot + "_topk"] = False
                 continue
             value = float(value)
-            best = self.index["best_values"].get(slot)
-            if best is None or value < best["value"]:
+            ranked = self.index["topk"].setdefault(slot, [])
+            in_topk = len(ranked) < self.top_k or value < ranked[-1]["value"]
+            written[slot] = written[slot + "_topk"] = False
+            if not in_topk:
+                continue
+            entry = {"value": value, "epoch": epoch, "name": f"{slot}-ep{epoch}"}
+            self._save_to(entry["name"], state)
+            ranked.append(entry)
+            ranked.sort(key=lambda e: e["value"])
+            for evicted in ranked[self.top_k:]:
+                path = os.path.join(self.dir, evicted["name"])
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+            del ranked[self.top_k:]
+            written[slot + "_topk"] = True
+            if ranked[0]["name"] == entry["name"]:  # new overall best
                 self._save_to(slot, state)
                 self.index["best_values"][slot] = {"value": value, "epoch": epoch}
                 written[slot] = True
-            else:
-                written[slot] = False
 
         self.index["history"].append(
             {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}})

@@ -51,7 +51,8 @@ class GPT:
         tokens = tokens.astype(jnp.int32)
 
         rngs = {"dropout": key} if (train and (self.config.dropout_att > 0
-                                               or self.config.dropout_emb > 0)) else None
+                                               or self.config.dropout_emb > 0
+                                               or self.config.dropout_res > 0)) else None
         logits = self.module.apply(params, tokens, deterministic=not train, rngs=rngs)
 
         # shift: predict token t+1 from prefix <= t

@@ -139,6 +139,8 @@ class MMF:
             temperature=cfg.temperature if temperature is None else temperature,
             top_k=cfg.top_k if top_k is None else top_k,
             top_p=cfg.top_p if top_p is None else top_p,
+            method=cfg.hybrid_solver,
+            class_freqs=cfg.class_freqs,
         )
 
     def simulate(self, params, key: Array, source: MultiModal, num_timesteps: int,

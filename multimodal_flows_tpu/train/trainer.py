@@ -256,7 +256,8 @@ class Trainer:
         state = self.init_state(k_init, spe)
 
         exp_dir = cfg.experiment_dir if cfg.experiment_id else os.path.join(cfg.dir, "scratch")
-        ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+        ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"),
+                                 top_k=cfg.save_top_k)
         logger = MetricsLogger(exp_dir)
 
         start_epoch = 0

@@ -12,6 +12,7 @@ from __future__ import annotations
 import csv
 import json
 import os
+import struct
 import time
 import warnings
 from typing import Any, Dict, List, Optional
@@ -49,21 +50,40 @@ def get_unique_dir(base_dir: str, exist_ok: bool = False) -> str:
     return base_dir
 
 
+_BCAST_PATH_LEN = 4096
+
+
+def _broadcast_path(path: str) -> str:
+    """All hosts adopt process 0's path string, broadcast as a fixed-size
+    uint8 buffer over the collective (the JAX-native version of the
+    reference's `broadcast_object_list`, `utils/helpers.py:100-103`)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = path.encode()[:_BCAST_PATH_LEN].ljust(_BCAST_PATH_LEN, b"\0")
+    agreed = multihost_utils.broadcast_one_to_all(
+        np.frombuffer(buf, dtype=np.uint8))
+    return bytes(np.asarray(agreed)).rstrip(b"\0").decode()
+
+
 def setup_logging_dir(base_dir: str, exist_ok: bool = False) -> str:
-    """Create a unique run directory; in multi-host settings only process 0
-    picks the name and all hosts agree on it (reference
-    `utils/helpers.py:89-105`, which broadcast over NCCL — here the name is
-    deterministic per host via the filesystem, and hosts synchronize with a
-    collective barrier)."""
+    """Create a unique run directory; in multi-host settings process 0
+    picks the name and *broadcasts it* so every host returns the same
+    directory even when `base_dir` already exists (reference
+    `utils/helpers.py:89-105`, which broadcast the name over NCCL)."""
     import jax
 
-    from multimodal_flows_tpu.parallel.mesh import sync_hosts
+    if jax.process_count() == 1:
+        path = get_unique_dir(base_dir, exist_ok=exist_ok)
+        os.makedirs(path, exist_ok=True)
+        return path
 
     path = base_dir
     if jax.process_index() == 0:
         path = get_unique_dir(base_dir, exist_ok=exist_ok)
         os.makedirs(path, exist_ok=True)
-    sync_hosts("setup_logging_dir")
+    path = _broadcast_path(path)
+    os.makedirs(path, exist_ok=True)  # no-op on a shared filesystem
     return path
 
 
@@ -112,6 +132,99 @@ class CSVSink(MetricSink):
             self._f.close()
 
 
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), required by the TFRecord framing."""
+    table = _crc32c_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+_CRC_TABLE: Optional[List[int]] = None
+
+
+def _crc32c_table() -> List[int]:
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        poly = 0x82F63B78
+        table = []
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+            table.append(crc)
+        _CRC_TABLE = table
+    return _CRC_TABLE
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return ((crc >> 15 | crc << 17) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out += bytes([b | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _pb_field(num: int, wire: int, payload: bytes) -> bytes:
+    return _varint(num << 3 | wire) + payload
+
+
+def _tb_event(step: int, wall_time: float, scalars: Dict[str, float]) -> bytes:
+    """Hand-encoded tensorflow.Event proto with scalar Summary values
+    (Event: wall_time=1 double, step=2 int64, summary=5; Summary.Value:
+    tag=1 string, simple_value=2 float)."""
+    values = b""
+    for tag, v in scalars.items():
+        val = (_pb_field(1, 2, _varint(len(tag.encode())) + tag.encode())
+               + _pb_field(2, 5, struct.pack("<f", float(v))))
+        values += _pb_field(1, 2, _varint(len(val)) + val)
+    event = (_pb_field(1, 1, struct.pack("<d", wall_time))
+             + _pb_field(2, 0, _varint(step))
+             + _pb_field(5, 2, _varint(len(values)) + values))
+    return event
+
+
+class TensorBoardSink(MetricSink):
+    """Dependency-free TensorBoard event-file writer (TFRecord framing +
+    hand-encoded scalar Summary protos) — a real external-logger sink
+    replacing the reference's Comet integration (`utils/helpers.py:14-38`).
+    Point `tensorboard --logdir <experiment_dir>/tb` at it.
+    """
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        fname = f"events.out.tfevents.{int(time.time())}.{os.getpid()}"
+        self._f = open(os.path.join(log_dir, fname), "ab", buffering=0)
+        # leading Event{wall_time, file_version="brain.Event:2"} record
+        ver = b"brain.Event:2"
+        self._write_record(_pb_field(1, 1, struct.pack("<d", time.time()))
+                           + _pb_field(3, 2, _varint(len(ver)) + ver))
+
+    def _write_record(self, data: bytes) -> None:
+        header = struct.pack("<Q", len(data))
+        self._f.write(header
+                      + struct.pack("<I", _masked_crc(header))
+                      + data
+                      + struct.pack("<I", _masked_crc(data)))
+
+    def log(self, step, metrics):
+        scalars = {k: float(v) for k, v in metrics.items()
+                   if hasattr(v, "__float__")}
+        if scalars:
+            self._write_record(_tb_event(int(step), time.time(), scalars))
+
+    def close(self):
+        self._f.close()
+
+
 class MetricsLogger:
     """Fan-out logger owning the experiment directory."""
 
@@ -122,6 +235,7 @@ class MetricsLogger:
             sinks = [
                 JSONLSink(os.path.join(experiment_dir, "metrics.jsonl")),
                 CSVSink(os.path.join(experiment_dir, "metrics.csv")),
+                TensorBoardSink(os.path.join(experiment_dir, "tb")),
             ]
         self.sinks = sinks
 

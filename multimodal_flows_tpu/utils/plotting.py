@@ -195,6 +195,12 @@ def plot_trajectories(trajectory: MultiModal, num_points: int = 500,
     ax.plot(x[:, :, 0], x[:, :, 1], color="gray", lw=0.2, alpha=0.3)
     sc = ax.scatter(x[-1, :, 0], x[-1, :, 1], c=labels, s=6, cmap="tab10", zorder=3)
     ax.scatter(x[0, :, 0], x[0, :, 1], c="lightgray", s=4, zorder=2)
+    # intermediate-time snapshots (fractions in [0, 1] of the trajectory)
+    T = x.shape[0]
+    for frac in timesteps_to_mark:
+        ti = min(int(round(float(frac) * (T - 1))), T - 1)
+        ax.scatter(x[ti, :, 0], x[ti, :, 1], c="darkgray", s=4, alpha=0.6,
+                   zorder=2)
     ax.set_xticks([]); ax.set_yticks([]); ax.axis("equal")
     fig.colorbar(sc, ax=ax, shrink=0.7)
     if path:

@@ -132,3 +132,139 @@ def test_process_batch_slice_partitions_globally():
 
     with pytest.raises(AssertionError):
         process_batch_slice(10, 4, 0)  # uneven shares are an error
+
+
+def test_checkpoint_top_k(tmp_path):
+    """save_top_k parity (reference keeps the 10 best per monitor,
+    `scripts/train_mmf.py:128-148`): runners-up are kept as {slot}-ep{N}
+    directories, the worst is evicted beyond k, and the plain slot always
+    holds the #1 checkpoint."""
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitors={"best": "val_loss"},
+                            top_k=3)
+
+    def st(v):
+        return {"w": np.full(2, float(v))}
+
+    # epochs 1..5 with losses 5,3,4,1,2 -> top-3 = epochs 4(1.0), 5(2.0), 2(3.0)
+    losses = {1: 5.0, 2: 3.0, 3: 4.0, 4: 1.0, 5: 2.0}
+    for ep, v in losses.items():
+        w = mgr.save(st(ep), {"val_loss": v}, epoch=ep)
+        assert w["best_topk"] or v > min(list(losses.values())[:ep])
+
+    ranked = mgr.index["topk"]["best"]
+    assert [e["epoch"] for e in ranked] == [4, 5, 2]
+    # kept dirs exist, evicted dirs are gone
+    for e in ranked:
+        assert mgr.has(e["name"])
+    assert not mgr.has("best-ep1")
+    assert not mgr.has("best-ep3")
+    # plain slot = #1 (epoch 4)
+    tpl = {"w": np.zeros(2)}
+    assert mgr.load(tpl, "best")["w"][0] == 4.0
+    # runner-up loadable by ranked name
+    assert mgr.load(tpl, ranked[1]["name"])["w"][0] == 5.0
+    # index survives reload
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), top_k=3)
+    assert [e["epoch"] for e in mgr2.index["topk"]["best"]] == [4, 5, 2]
+
+
+def _read_tfrecords(path):
+    """Minimal TFRecord reader with masked-CRC verification."""
+    import struct
+
+    from multimodal_flows_tpu.utils.logger import _masked_crc
+
+    records = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if not header:
+                break
+            (length,) = struct.unpack("<Q", header)
+            (hcrc,) = struct.unpack("<I", f.read(4))
+            assert hcrc == _masked_crc(header), "header CRC mismatch"
+            data = f.read(length)
+            (dcrc,) = struct.unpack("<I", f.read(4))
+            assert dcrc == _masked_crc(data), "data CRC mismatch"
+            records.append(data)
+    return records
+
+
+def _parse_event_scalars(data):
+    """Decode tag -> simple_value pairs from a hand-encoded Event proto."""
+    import struct as _s
+
+    def read_varint(buf, i):
+        shift, val = 0, 0
+        while True:
+            b = buf[i]; i += 1
+            val |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return val, i
+            shift += 7
+
+    scalars = {}
+    step = None
+    i = 0
+    while i < len(data):
+        key, i = read_varint(data, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, i = read_varint(data, i)
+            if field == 2:
+                step = val
+        elif wire == 1:
+            i += 8
+        elif wire == 2:
+            ln, i = read_varint(data, i)
+            payload = data[i:i + ln]; i += ln
+            if field == 5:  # summary
+                j = 0
+                while j < len(payload):
+                    k2, j = read_varint(payload, j)
+                    ln2, j = read_varint(payload, j)
+                    value_msg = payload[j:j + ln2]; j += ln2
+                    # Value: tag=1 (len-delim), simple_value=2 (32-bit)
+                    m = 0
+                    tag = None
+                    while m < len(value_msg):
+                        k3, m = read_varint(value_msg, m)
+                        f3, w3 = k3 >> 3, k3 & 7
+                        if w3 == 2:
+                            l3, m = read_varint(value_msg, m)
+                            if f3 == 1:
+                                tag = value_msg[m:m + l3].decode()
+                            m += l3
+                        elif w3 == 5:
+                            if f3 == 2 and tag:
+                                scalars[tag] = _s.unpack("<f", value_msg[m:m + 4])[0]
+                            m += 4
+                        elif w3 == 0:
+                            _, m = read_varint(value_msg, m)
+        else:
+            raise AssertionError(f"unexpected wire type {wire}")
+    return step, scalars
+
+
+def test_tensorboard_sink(tmp_path):
+    """The dependency-free TensorBoard sink writes valid TFRecord framing
+    (masked CRC32C) and decodable scalar Summary events."""
+    import glob
+
+    from multimodal_flows_tpu.utils.logger import TensorBoardSink
+
+    sink = TensorBoardSink(str(tmp_path / "tb"))
+    sink.log(7, {"train_loss": 1.5, "val_loss": 2.25, "note": "skipme"})
+    sink.log(8, {"train_loss": 1.25})
+    sink.close()
+
+    files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert len(files) == 1
+    records = _read_tfrecords(files[0])
+    assert len(records) == 3  # file_version + 2 scalar events
+
+    step, scalars = _parse_event_scalars(records[1])
+    assert step == 7
+    assert scalars == {"train_loss": 1.5, "val_loss": 2.25}
+    step, scalars = _parse_event_scalars(records[2])
+    assert step == 8 and scalars == {"train_loss": 1.25}

@@ -152,3 +152,33 @@ def test_remat_equivalence():
     g_r = jax.grad(loss(model_r))(params)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g, g_r)
+
+
+def test_attention_prob_dropout():
+    """Attention-probability dropout parity (reference passes
+    dropout_p=config.dropout into SDPA, `networks/attention.py:69`):
+    with dropout > 0 the training forward is stochastic beyond the
+    residual dropout alone, and eval is deterministic."""
+    from multimodal_flows_tpu.models.attention import SelfAttention
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6, 16)),
+                    jnp.float32)
+
+    attn = SelfAttention(16, 2, dropout=0.0, attn_dropout=0.5)
+    p = attn.init(jax.random.PRNGKey(0), x)
+    det = attn.apply(p, x, deterministic=True)
+    r1 = attn.apply(p, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    r2 = attn.apply(p, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    # residual dropout is 0 here, so any stochasticity comes from the probs
+    assert np.abs(np.asarray(r1) - np.asarray(det)).max() > 0
+    assert np.abs(np.asarray(r1) - np.asarray(r2)).max() > 0
+
+    # attn_dropout defaults to dropout (reference ties both to config.dropout)
+    tied = SelfAttention(16, 2, dropout=0.3)
+    assert tied.attn_dropout is None
+    # deterministic path ignores dropout entirely
+    p2 = tied.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(tied.apply(p2, x, deterministic=True)),
+                               np.asarray(tied.apply(p2, x, deterministic=True)))

@@ -133,3 +133,44 @@ def test_censored_poisson_matches_full_poisson_statistics():
     assert abs(full[0] - cens[0]) < 0.01
     assert abs(full[1] - cens[1]) < 0.05
     assert abs(full[2] - cens[2]) < 0.05
+
+
+def test_per_class_temperature():
+    """Per-class temperature vector (reference `_temperature_scaling`,
+    `solvers.py:95-99`, with the intended (1,1,S) broadcast): logits
+    divided by T*freqs elementwise over classes."""
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 9)),
+                         jnp.float32)
+    freqs = solvers.REFERENCE_CLASS_FREQS
+    out = solvers._per_class_temperature(logits, 0.8, freqs)
+    expected = np.asarray(logits) / (0.8 * np.asarray(freqs)[None, None] + 1e-8)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
+
+
+def test_hybrid_euler_class_freqs_changes_distribution():
+    """The hybrid euler path honors class_freqs; tauleap ignores it
+    (reference applies `_temperature_scaling` only in euler_step)."""
+    B, D, S = 64, 8, 9
+    key = jax.random.PRNGKey(0)
+    state = MultiModal(
+        time=jnp.full((B,), 0.5),
+        continuous=jnp.zeros((B, D, 3)),
+        discrete=jnp.ones((B, D, 1), jnp.int32),
+        mask=jnp.ones((B, D, 1), jnp.int32))
+    logits = jax.random.normal(jax.random.PRNGKey(1), (B, D, S)) * 3.0
+    apply_fn = lambda s: (jnp.zeros((B, D, 3)), logits)
+    bridge = RandomTelegraphBridge(0.5, S)
+
+    def run(method, class_freqs, temperature=0.5):
+        sol = solvers.HybridSolver(apply_fn, bridge, S, temperature=temperature,
+                                   method=method, class_freqs=class_freqs)
+        out, _ = sol.fwd_step(key, state, jnp.float32(0.5))
+        return np.asarray(out.discrete)
+
+    heavy = (0.01,) * 5 + (100.0,) * 4  # extreme per-class temps
+    a = run("euler", None)
+    b = run("euler", heavy)
+    assert (a != b).any(), "class_freqs had no effect on the euler path"
+    t1 = run("tauleap", None)
+    t2 = run("tauleap", heavy)
+    np.testing.assert_array_equal(t1, t2)  # tauleap: scalar T only
