@@ -107,7 +107,11 @@ class Config:
     bucketed_training: bool = False              # group jets by multiplicity into
                                                  # static-width buckets (skips pad
                                                  # compute; within-bucket batches)
-    bucket_widths: List[int] = field(default_factory=lambda: [64, 128])
+    bucket_widths: List[int] = field(default_factory=lambda: [48, 64, 128])
+                                                 # 48 covers ~88% of AOJ-like jets
+                                                 # (mean mult ~40); >128 tail stays
+                                                 # at D (T>128 is tiling-hostile on
+                                                 # v5e either way, PROFILE_r02.md)
     fsdp: bool = False                           # shard params + optimizer state
                                                  # over the data axis (ZeRO-3-style)
     checkpoint_every_n_epochs: int = 1

@@ -17,7 +17,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_flows_tpu.models.blocks import DENSE_INIT, MLP, LayerNorm
-from multimodal_flows_tpu.ops.attention import multihead_attention
+from multimodal_flows_tpu.ops.attention import (
+    multihead_attention,
+    multihead_attention_btc,
+)
 
 Array = jax.Array
 
@@ -54,22 +57,23 @@ class SelfAttention(nn.Module):
                        dtype=self.dtype, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):
-            return t.reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)  # (B,H,T,hs)
-
-        q, k, v = heads(q), heads(k), heads(v)
-
         if self.qk_layernorm:
-            # per-head-size LayerNorm, params shared across heads
-            q = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="q_layernorm")(q)
-            k = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="k_layernorm")(k)
+            # per-head-size LayerNorm, params shared across heads; applied
+            # in token layout (B, T, H, hs) — a free reshape — instead of
+            # the head-transposed layout: LN over hs commutes with the
+            # transpose, so the math and the param tree are unchanged while
+            # the kernel path below needs no transposes at all
+            q = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="q_layernorm")(
+                q.reshape(B, T, self.n_head, hs)).reshape(B, T, C)
+            k = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="k_layernorm")(
+                k.reshape(B, T, self.n_head, hs)).reshape(B, T, C)
 
         p_attn = self.dropout if self.attn_dropout is None else self.attn_dropout
         rng = (self.make_rng("dropout")
                if (p_attn > 0.0 and not deterministic) else None)
-        y = multihead_attention(q, k, v, attn_bias, key_mask, impl=self.attn_impl,
-                                dropout_rate=p_attn, dropout_rng=rng)
-        y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
+        y = multihead_attention_btc(q, k, v, self.n_head, attn_bias, key_mask,
+                                    impl=self.attn_impl, dropout_rate=p_attn,
+                                    dropout_rng=rng)
         y = nn.Dense(self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
                      dtype=self.dtype, name="c_proj")(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)

@@ -89,3 +89,68 @@ def multihead_attention(
 
         return pallas_set_attention(q, k, v, key_mask, bias)
     return _xla_attention(q, k, v, bias, key_mask, dropout_rate, dropout_rng)
+
+
+def _xla_attention_btc(q: Array, k: Array, v: Array, n_head: int,
+                       bias: Optional[Array], key_mask: Optional[Array],
+                       dropout_rate: float = 0.0,
+                       dropout_rng: Optional[Array] = None) -> Array:
+    """Attention from token-major (B, T, C) tensors: the head split is a
+    free reshape and XLA folds the (B,T,H,hs)->(B,H,T,hs) transposes into
+    the dots, avoiding the materialized head-layout relayouts of the
+    (B,H,T,Dh) path (those relayouts were ~half the flagship forward cost
+    on v5e, see PROFILE_r02.md)."""
+    B, T, C = q.shape
+    hs = C // n_head
+    scale = 1.0 / float(hs) ** 0.5
+    q4 = q.reshape(B, T, n_head, hs)
+    k4 = k.reshape(B, T, n_head, hs)
+    v4 = v.reshape(B, T, n_head, hs)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q4, k4,
+                        preferred_element_type=jnp.float32) * scale
+    if key_mask is not None:
+        scores = scores + key_mask[:, None, None, :].astype(scores.dtype)
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep.astype(probs.dtype) / (1.0 - dropout_rate)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v4,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, T, C).astype(v.dtype)
+
+
+def multihead_attention_btc(
+    q: Array,
+    k: Array,
+    v: Array,
+    n_head: int,
+    bias: Optional[Array] = None,
+    key_mask: Optional[Array] = None,
+    *,
+    impl: Optional[str] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[Array] = None,
+) -> Array:
+    """Attention over token-major (B, T, C) q/k/v with heads packed in C.
+
+    This is the production entry point for the set encoders: it never
+    materializes head-transposed tensors.  On TPU, `impl='auto'` uses the
+    fused Pallas kernel (scores live in VMEM, zero relayouts) for the
+    bias-free inference path, else the reshaped-einsum XLA formulation.
+    """
+    impl = impl or _IMPL_DEFAULT
+    want_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if impl == "auto":
+        # XLA wins at jet shapes on v5e (measured r2: fwd T=48 4.46 ms XLA
+        # vs 5.15 Pallas; T=128 9.4 vs 20.6 — the VMEM kernel's head
+        # packing can't beat XLA's fusions while hs=32 underfills the MXU
+        # either way).  The kernel stays available via impl='pallas'.
+        impl = "xla"
+    if impl == "pallas" and bias is None and not want_dropout:
+        from multimodal_flows_tpu.ops.pallas_attention import pallas_btc_attention
+
+        return pallas_btc_attention(q, k, v, key_mask, n_head)
+    return _xla_attention_btc(q, k, v, n_head, bias, key_mask,
+                              dropout_rate, dropout_rng)

@@ -181,3 +181,152 @@ def _bwd(block_b, res, g):
 
 
 pallas_set_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Token-major fused kernel: q/k/v in (B, T, C), heads packed in C
+# ---------------------------------------------------------------------------
+#
+# This is the production attention of the set encoders.  The XLA (B,H,T,Dh)
+# formulation costs ~half the flagship forward at jet widths (T<=128,
+# hs=32): every head-layout relayout and the (B,H,T,T) score tensors round-
+# trip HBM with 4x tile padding (PROFILE_r02.md).  Here one grid step DMAs
+# a block of jets ONCE in token layout; head slicing, QK^T, masked softmax
+# and PV all happen in VMEM; the output returns in token layout.  No
+# transposes exist anywhere in the chain.
+
+BTC_BLOCK_B = 16
+
+
+def _btc_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
+                block_b: int, n_head: int, hs: int, T: int, precision):
+    """Lane-masked head packing: per jet, q/k/v rows are replicated H times
+    with each replica keeping only its head's lanes (zeros elsewhere), so
+
+      Q_p (H*T, C) @ K_p^T -> scores[(h,i),(g,j)] = q_h[i]. k_g[j] [h == g]
+
+    — the head-block-diagonal structure falls out of the disjoint lane
+    support, each dot contracts the full 128-lane C (full MXU passes, no
+    narrow (*, hs) arrays, no relayouts, no in-kernel concatenation), and
+    the whole chain (two dots + masked softmax) lives in VMEM.  Cross-head
+    blocks are exact zeros; an additive -1e9 penalty removes them from the
+    softmax.  PV with the lane-masked V lands each head's output in its
+    own lanes; summing the H row-groups reassembles (T, C)."""
+    HT = n_head * T
+    # compile-time lane mask (H, 1, C): replica h keeps lanes [h*hs,(h+1)*hs)
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (n_head, 1, n_head * hs), 2) // hs
+    rep_h = jax.lax.broadcasted_iota(jnp.int32, (n_head, 1, n_head * hs), 0)
+    lane_mask = (lane_h == rep_h).astype(jnp.float32)
+    # compile-time (H*T, H*T) block-diagonal penalty
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (HT, HT), 0) // T
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (HT, HT), 1) // T
+    block_penalty = jnp.where(row_h == col_h, 0.0, -1e9).astype(jnp.float32)
+
+    for b in range(block_b):
+        def pack(ref):
+            x = ref[b].astype(jnp.float32)                        # (T, C)
+            xp = jnp.broadcast_to(x[None], (n_head, T, x.shape[-1])) * lane_mask
+            return xp.reshape(HT, x.shape[-1])                    # (H*T, C)
+
+        qs, ks, vs = pack(q_ref), pack(k_ref), pack(v_ref)
+
+        s = jax.lax.dot_general(
+            qs, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * scale                          # (H*T, H*T)
+        s = s + block_penalty
+        if mask_ref is not None:
+            s = s + mask_ref[b, 0][None, :]                       # (1, H*T), pre-tiled
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, vs, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                                  # (H*T, C)
+        o_ref[b] = o.reshape(n_head, T, -1).sum(axis=0).astype(o_ref.dtype)
+
+
+def _btc_dispatch(*refs, scale, block_b, n_head, hs, T, precision, has_mask):
+    if has_mask:
+        q_ref, k_ref, v_ref, mask_ref, o_ref = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref), mask_ref = refs, None
+    _btc_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, scale=scale,
+                block_b=block_b, n_head=n_head, hs=hs, T=T,
+                precision=precision)
+
+
+def _btc_forward(q: Array, k: Array, v: Array, key_mask: Optional[Array],
+                 n_head: int, block_b: int, interpret: bool,
+                 precision=None) -> Array:
+    B, T, C = q.shape
+    hs = C // n_head
+    scale = 1.0 / float(hs) ** 0.5
+    block_b = min(block_b, B)
+    while B % block_b != 0:
+        block_b -= 1
+
+    def spec():
+        return pl.BlockSpec((block_b, T, C), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec(), spec(), spec()]
+    args = [q, k, v]
+    if key_mask is not None:
+        # pre-tiled to (B, 1, H*T): the head-packed scores are (H*T, H*T)
+        # and Mosaic cannot concatenate 1-D vectors in-kernel
+        in_specs.append(pl.BlockSpec((block_b, 1, n_head * T),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.tile(key_mask.astype(jnp.float32), (1, n_head))[:, None, :])
+
+    kernel = functools.partial(_btc_dispatch, scale=scale, block_b=block_b,
+                               n_head=n_head, hs=hs, T=T, precision=precision,
+                               has_mask=key_mask is not None)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block_b,),
+        in_specs=in_specs,
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), v.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * T * T * C,
+            bytes_accessed=4 * B * T * C * q.dtype.itemsize,
+            transcendentals=B * n_head * T * T,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def pallas_btc_attention(q, k, v, key_mask=None, n_head: int = 4,
+                         block_b: int = BTC_BLOCK_B, interpret: bool = False,
+                         precision=None):
+    """Fused token-major attention. q/k/v: (B, T, C) with heads packed in
+    C; key_mask: (B, T) additive (0 / -1e9).  `interpret=True` runs the
+    kernel in Pallas interpret mode (CPU) for parity tests; pass
+    `precision=jax.lax.Precision.HIGHEST` for true-fp32 MXU passes
+    (exactness tests — default matches XLA's bf16-pass matmuls)."""
+    return _btc_forward(q, k, v, key_mask, n_head, block_b, interpret,
+                        precision)
+
+
+def _btc_vjp_fwd(q, k, v, key_mask, n_head, block_b, interpret, precision):
+    out = _btc_forward(q, k, v, key_mask, n_head, block_b, interpret, precision)
+    return out, (q, k, v, key_mask)
+
+
+def _btc_vjp_bwd(n_head, block_b, interpret, precision, res, g):
+    q, k, v, key_mask = res
+    from multimodal_flows_tpu.ops.attention import _xla_attention_btc
+
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention_btc(
+        q_, k_, v_, n_head, None, key_mask), q, k, v)
+    dq, dk, dv = vjp(g)
+    dmask = None if key_mask is None else jnp.zeros_like(key_mask)
+    return dq, dk, dv, dmask
+
+
+pallas_btc_attention.defvjp(_btc_vjp_fwd, _btc_vjp_bwd)

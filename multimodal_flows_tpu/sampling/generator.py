@@ -166,7 +166,7 @@ def generate_bucketed(
     pad_masks: np.ndarray,
     *,
     num_timesteps: int,
-    bucket_widths=(64, 128),
+    bucket_widths=(48, 64, 128),
     **kw,
 ) -> GenerationResult:
     """Multiplicity-bucketed generation: pad is wasted compute.

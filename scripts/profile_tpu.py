@@ -125,14 +125,17 @@ def main():
     grid = []
     widths = [64, 150] if args.quick else [48, 64, 128, 150]
     batches = [256] if args.quick else [256, 512, 1024]
+    # tail-width probes: T=150 measured badly tiling-hostile; find a good
+    # static width for the >128-particle tail bucket
+    tail_probe = [] if args.quick else [(152, 256), (160, 256), (192, 256)]
     for dtype in ["float32", "bfloat16"]:
         cfg = Config(model="ParticleFormer", n_embd=256, n_inner=512, n_layer=5,
                      n_layer_fused=6, n_head=4, compute_dtype=dtype,
-                     max_num_particles=150)
+                     max_num_particles=256)
         system = MMF(cfg)
         params = system.init_params(jax.random.PRNGKey(0))
-        for T in widths:
-            for B in batches:
+        for T, B in [(t, b) for t in widths for b in batches] + tail_probe:
+            if True:
                 state = make(cfg, B, T)
 
                 def body(s):
@@ -177,16 +180,18 @@ def main():
     print(f"solver overhead: full {per_full*1e3:.2f} ms vs model "
           f"{per_model*1e3:.2f} ms", flush=True)
 
-    # ---- 4. PRNG impl for the tau-leap draw
+    # ---- 4. PRNG impl for the tau-leap draw (typed keys: legacy raw keys
+    # lose their impl inside scan)
     for impl in ["threefry2x32", "rbg"]:
-        key = jax.random.PRNGKey(0, impl=impl)
+        key = jax.random.key(0, impl=impl)
 
-        def draw(k):
+        def draw(c):
+            acc, k = c
             k, sub = jax.random.split(k)
             u = jax.random.uniform(sub, (B, T, 9), jnp.float32)
-            return jax.lax.cond(u[0, 0, 0] < 2.0, lambda: k, lambda: k)
+            return (acc + u[0, 0, 0], k)
 
-        per = timed_scan(draw, key, steps)
+        per = timed_scan(draw, (jnp.float32(0), key), steps)
         results[f"rng_{impl}_ms"] = per * 1e3
         print(f"rng {impl}: {per*1e3:.3f} ms per (B,T,9) uniform", flush=True)
 

@@ -64,3 +64,59 @@ def test_pallas_matches_xla():
     ref = _xla_attention(q, k, v, None, km)
     out = pallas_set_attention(q, k, v, km)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def _btc_qkv(B=12, T=10, C=32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(k, (B, T, C), jnp.float32) for k in ks)
+
+
+def test_btc_xla_matches_transposed_formulation():
+    """The token-major (B,T,C) attention equals the head-transposed
+    (B,H,T,Dh) formulation (the production path never materializes the
+    head layout)."""
+    from multimodal_flows_tpu.ops.attention import _xla_attention_btc
+
+    B, T, C, H = 6, 10, 32, 4
+    q, k, v = _btc_qkv(B, T, C)
+    mask = _mask(B, T)
+    km = key_mask_bias(mask)
+
+    def heads(t):
+        return t.reshape(B, T, H, C // H).transpose(0, 2, 1, 3)
+
+    ref = _xla_attention(heads(q), heads(k), heads(v), None, km)
+    ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(B, T, C)
+    out = np.asarray(_xla_attention_btc(q, k, v, H, None, km))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_btc_interpret_parity_and_grads():
+    """The fused token-major kernel runs in interpret mode on every
+    backend (no more TPU-only skip): forward parity and custom-VJP grads
+    vs the XLA formulation, including uneven batch and no-mask paths."""
+    from multimodal_flows_tpu.ops.attention import _xla_attention_btc
+    from multimodal_flows_tpu.ops.pallas_attention import pallas_btc_attention
+
+    B, T, C, H = 12, 10, 32, 4  # B=12 exercises the divisor fallback
+    q, k, v = _btc_qkv(B, T, C)
+    mask = _mask(B, T)
+    km = jnp.where(mask[..., 0] > 0, 0.0, -1e9).astype(jnp.float32)
+
+    ref = _xla_attention_btc(q, k, v, H, None, km)
+    out = pallas_btc_attention(q, k, v, km, H, 16, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g_pal = jax.grad(lambda a, b, c: (
+        pallas_btc_attention(a, b, c, km, H, 16, True) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(lambda a, b, c: (
+        _xla_attention_btc(a, b, c, H, None, km) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pal, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    # no-mask path
+    ref2 = _xla_attention_btc(q, k, v, H, None, None)
+    out2 = pallas_btc_attention(q, k, v, None, H, 16, True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-5)

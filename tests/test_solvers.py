@@ -174,3 +174,27 @@ def test_hybrid_euler_class_freqs_changes_distribution():
     t1 = run("tauleap", None)
     t2 = run("tauleap", heavy)
     np.testing.assert_array_equal(t1, t2)  # tauleap: scalar T only
+
+
+def test_single_uniform_tauleap_matches_full_poisson_law():
+    """The single-uniform gated tau-leap must reproduce the per-site token
+    distribution of the reference's full S-Poisson draw with the
+    at-most-one-jump gate (proof in _poisson_tauleap_tokens docstring)."""
+    B, D = 400, 50
+    rng = np.random.default_rng(1)
+    rates = jnp.asarray(rng.uniform(0.1, 3.0, size=(1, 1, V)).repeat(D, 1).repeat(B, 0),
+                        jnp.float32)
+    dt = jnp.float32(0.25)
+    k0 = jnp.full((B, D), 4, jnp.int32)
+
+    # reference construction: full Poisson, gate, net-jump shift mod S
+    delta_n = jax.random.poisson(jax.random.PRNGKey(2), rates * dt, dtype=jnp.int32)
+    jm = (delta_n.sum(-1) <= 1).astype(jnp.int32)
+    diff = jnp.arange(V, dtype=jnp.int32)[None, None, :] - k0[:, :, None]
+    k_ref = (k0 + (delta_n * diff).sum(-1) * jm) % V
+
+    k_new = solvers._poisson_tauleap_tokens(jax.random.PRNGKey(3), k0, rates, dt, V)
+
+    f_ref = np.bincount(np.asarray(k_ref).ravel(), minlength=V) / (B * D)
+    f_new = np.bincount(np.asarray(k_new).ravel(), minlength=V) / (B * D)
+    np.testing.assert_allclose(f_new, f_ref, atol=0.01)
