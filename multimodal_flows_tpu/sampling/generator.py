@@ -85,6 +85,38 @@ def generate(
 
         params = jax.device_put(params, replicated_sharding(mesh))
 
+    # tail shrinking: when the last partial batch would waste more than
+    # half its rows as padding, run it as a separate smaller program
+    # (power-of-two batch, so repeat calls reuse a handful of compiles)
+    # instead of padding to the full batch size — a one-jet tail bucket
+    # otherwise costs a whole `batch_size` trajectory (~12 s at 1000
+    # steps for 255 padded jets)
+    rem = num_jets % batch_size
+    if mesh is None and 0 < rem <= batch_size // 2 and num_jets > rem:
+        head = generate(system, params, pad_masks[:num_jets - rem],
+                        num_timesteps=num_timesteps, temperature=temperature,
+                        top_k=top_k, top_p=top_p,
+                        use_final_max_rates=use_final_max_rates,
+                        batch_size=batch_size, seed=seed, mesh=mesh,
+                        metadata=metadata)
+        tail = generate(system, params, pad_masks[num_jets - rem:],
+                        num_timesteps=num_timesteps, temperature=temperature,
+                        top_k=top_k, top_p=top_p,
+                        use_final_max_rates=use_final_max_rates,
+                        batch_size=batch_size, seed=seed + 104729, mesh=mesh,
+                        metadata=metadata)
+        sample = MultiModal.concat([head.sample, tail.sample])
+        wall = head.wall_time_s + tail.wall_time_s
+        return GenerationResult(sample=sample, jets_per_sec=num_jets / wall,
+                                wall_time_s=wall, num_timesteps=num_timesteps,
+                                temperature=temperature)
+    if mesh is None and num_jets <= batch_size // 2:
+        # shrink the program to the next power-of-two batch
+        b = 8
+        while b < num_jets:
+            b *= 2
+        batch_size = min(b, batch_size)
+
     # All batches run inside ONE compiled scan-of-scans: the outer scan walks
     # the stacked pad masks (noise drawn on device per batch), the inner scan
     # is the `num_timesteps` trajectory.  One host dispatch per generation

@@ -230,3 +230,31 @@ def test_generate_bucketed_sharded_mesh():
                             bucket_widths=(4, 8), batch_size=8, mesh=mesh, seed=2)
     assert len(res.sample) == 24
     np.testing.assert_array_equal(res.sample.mask, masks)
+
+
+def test_generate_tail_batch_shrinking():
+    """A partial tail batch that would waste >half its rows as padding
+    runs as a separate power-of-two program; tiny workloads shrink the
+    whole program (a 1-jet tail bucket must not cost a full-batch
+    trajectory).  Order and per-jet masks are preserved."""
+    from multimodal_flows_tpu.config import Config
+    from multimodal_flows_tpu.sampling.generator import generate
+    from multimodal_flows_tpu.train.systems import MMF
+    from tests.conftest import make_jets
+
+    cfg = Config(model="FusedParticleFormer", n_embd=16, n_inner=32, n_layer=1,
+                 n_layer_fused=1, n_head=2, max_num_particles=8,
+                 multitask_loss="sum")
+    system = MMF(cfg)
+    params = system.init_params(jax.random.PRNGKey(0))
+
+    for n_jets, bs in [(70, 64), (10, 64), (64, 64), (130, 64)]:
+        jets = make_jets(B=n_jets, D=8, seed=3)
+        res = generate(system, params, np.asarray(jets.mask),
+                       num_timesteps=3, batch_size=bs, seed=0)
+        assert len(res.sample) == n_jets, (n_jets, bs)
+        np.testing.assert_array_equal(np.asarray(res.sample.mask),
+                                      np.asarray(jets.mask))
+        assert np.isfinite(res.sample.continuous).all()
+        toks = np.asarray(res.sample.discrete)
+        assert toks.min() >= 0 and toks.max() < cfg.vocab_size
