@@ -48,7 +48,12 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, attn_bias: Optional[Array] = None,
-                 deterministic: bool = True, key_mask: Optional[Array] = None) -> Array:
+                 deterministic: bool = True, key_mask: Optional[Array] = None,
+                 kv_cache: Optional[tuple] = None):
+        """kv_cache — autoregressive decode mode: x is the single position
+        `pos`, kv_cache = (k_cache, v_cache, pos) with caches (B, T, C).
+        Returns (y, (k_cache, v_cache, pos)) with the caches updated at
+        `pos`; attention sees only cached positions <= pos (causal)."""
         assert self.n_embd % self.n_head == 0
         B, T, C = x.shape
         hs = C // self.n_head
@@ -56,6 +61,29 @@ class SelfAttention(nn.Module):
         qkv = nn.Dense(3 * self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
                        dtype=self.dtype, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        if kv_cache is not None:
+            k_cache, v_cache, pos = kv_cache
+            if self.qk_layernorm:
+                q = LayerNorm(use_bias=self.use_bias, dtype=self.dtype,
+                              name="q_layernorm")(
+                    q.reshape(B, T, self.n_head, hs)).reshape(B, T, C)
+                k = LayerNorm(use_bias=self.use_bias, dtype=self.dtype,
+                              name="k_layernorm")(
+                    k.reshape(B, T, self.n_head, hs)).reshape(B, T, C)
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, pos, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, pos, 0))
+            # causal: only cached positions <= pos are valid keys
+            Tc = k_cache.shape[1]
+            causal = jnp.where(jnp.arange(Tc)[None, :] <= pos, 0.0, -1e9
+                               ).astype(jnp.float32)
+            causal = jnp.broadcast_to(causal, (B, Tc))
+            y = multihead_attention_btc(q, k_cache, v_cache, self.n_head,
+                                        None, causal, impl="xla")
+            y = nn.Dense(self.n_embd, use_bias=self.use_bias,
+                         kernel_init=DENSE_INIT, dtype=self.dtype,
+                         name="c_proj")(y)
+            return y, (k_cache, v_cache, pos)
 
         if self.qk_layernorm:
             # per-head-size LayerNorm, params shared across heads; applied
@@ -143,15 +171,22 @@ class SelfAttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, attn_bias: Optional[Array] = None,
-                 deterministic: bool = True, key_mask: Optional[Array] = None) -> Array:
+                 deterministic: bool = True, key_mask: Optional[Array] = None,
+                 kv_cache: Optional[tuple] = None):
         n_inner = self.n_inner if self.n_inner is not None else 4 * self.n_embd
         h = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="ln1")(x)
-        x = x + SelfAttention(self.n_embd, self.n_head, self.dropout, self.use_bias,
-                              self.qk_layernorm, self.dtype, self.attn_impl,
-                              self.attn_dropout,
-                              name="attn")(h, attn_bias, deterministic, key_mask)
+        attn = SelfAttention(self.n_embd, self.n_head, self.dropout, self.use_bias,
+                             self.qk_layernorm, self.dtype, self.attn_impl,
+                             self.attn_dropout, name="attn")
+        if kv_cache is not None:
+            y, kv_cache = attn(h, attn_bias, deterministic, key_mask, kv_cache)
+            x = x + y
+        else:
+            x = x + attn(h, attn_bias, deterministic, key_mask)
         h = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="ln2")(x)
         x = x + MLP(n_inner, dropout=self.dropout, use_bias=self.use_bias,
                     dtype=self.dtype, activation=self.activation,
                     name="ffw")(h, deterministic)
+        if kv_cache is not None:
+            return x, kv_cache
         return x

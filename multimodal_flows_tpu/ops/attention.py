@@ -101,11 +101,12 @@ def _xla_attention_btc(q: Array, k: Array, v: Array, n_head: int,
     (B,H,T,Dh) path (those relayouts were ~half the flagship forward cost
     on v5e, see PROFILE_r02.md)."""
     B, T, C = q.shape
+    Tk = k.shape[1]  # may differ from T (KV-cached decode: T=1, Tk=seq)
     hs = C // n_head
     scale = 1.0 / float(hs) ** 0.5
     q4 = q.reshape(B, T, n_head, hs)
-    k4 = k.reshape(B, T, n_head, hs)
-    v4 = v.reshape(B, T, n_head, hs)
+    k4 = k.reshape(B, Tk, n_head, hs)
+    v4 = v.reshape(B, Tk, n_head, hs)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q4, k4,
                         preferred_element_type=jnp.float32) * scale
     if key_mask is not None:

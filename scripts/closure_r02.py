@@ -132,8 +132,8 @@ def main(argv=None):
     log.info(f"train {len(jets)} jets, held-out test {len(test_jets)}")
 
     cfg = Config(
-        model="ParticleFormer", n_embd=128, n_inner=256, n_layer=3,
-        n_layer_fused=4, n_head=4, vocab_size=9, dim_continuous=3,
+        model="ParticleFormer", n_embd=128, n_inner=256, n_layer=4,
+        n_layer_fused=5, n_head=4, vocab_size=9, dim_continuous=3,
         max_num_particles=args.max_p, batch_size=args.batch_size,
         max_epochs=args.epochs, lr=1e-3, lr_final=1e-5, warmup_epochs=2,
         use_ema_weights=True, multitask_loss="time-weighted",

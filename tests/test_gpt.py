@@ -125,3 +125,25 @@ def test_gpt_honors_activation_and_dropout_res():
                     rngs={"dropout": jax.random.PRNGKey(2)})
     assert np.abs(np.asarray(r1) - np.asarray(det)).max() > 0
     assert np.abs(np.asarray(r1) - np.asarray(r2)).max() > 0
+
+
+def test_gpt_decode_matches_full_forward():
+    """KV-cached decode must reproduce the teacher-forced forward's logits
+    at every position (same params, same tokens)."""
+    cfg = Config(n_embd=16, n_inner=32, n_layer=2, n_head=2, vocab_size=9,
+                 max_seq_length=6)
+    from multimodal_flows_tpu.models.gpt import FlavorSeqGPT
+
+    m = FlavorSeqGPT(cfg)
+    T = cfg.max_seq_length + 2
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 9, size=(4, T)),
+                      jnp.int32)
+    p = m.init(jax.random.PRNGKey(0), ids)
+    full = np.asarray(m.apply(p, ids))                  # (B, T, V)
+
+    caches = m.apply(p, 4, method="init_cache")
+    for t in range(T):
+        logits_t, caches = m.apply(p, ids[:, t], jnp.int32(t), caches,
+                                   method="decode")
+        np.testing.assert_allclose(np.asarray(logits_t), full[:, t],
+                                   atol=2e-4, err_msg=f"pos {t}")
