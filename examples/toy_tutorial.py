@@ -28,7 +28,8 @@ from multimodal_flows_tpu.data.toy import NGaussians, TwoMoons
 from multimodal_flows_tpu.train.systems import MMF
 from multimodal_flows_tpu.train.trainer import Trainer
 from multimodal_flows_tpu.utils.logger import SimpleLogger as log
-from multimodal_flows_tpu.utils.plotting import plot_trajectories
+from multimodal_flows_tpu.utils.plotting import (plot_trajectories,
+                                                 plot_trajectory_panels)
 
 
 def main(argv=None):
@@ -79,13 +80,43 @@ def main(argv=None):
                                   return_trajectory=True)
 
     out_png = os.path.join(cfg.experiment_dir, "trajectories.png")
-    plot_trajectories(jax.tree.map(np.asarray, traj), num_points=600, path=out_png)
-    log.info(f"saved trajectory plot -> {out_png}")
+    traj = jax.tree.map(np.asarray, traj)
+    plot_trajectories(traj, num_points=600, path=out_png)
+    plot_trajectory_panels(traj, num_points=600,
+                           path=out_png.replace(".png", "_panels.png"))
+    log.info(f"saved trajectory plots -> {out_png} (+_panels)")
 
     labels = np.asarray(final.discrete)[:, 0, 0]
     freq = np.bincount(labels, minlength=cfg.vocab_size) / n
     log.info(f"final label frequencies: {np.round(freq, 3)} "
              f"(target: ~0.5 each on labels 1 and 2, ~0 elsewhere)")
+
+    # closure check: generated vs a fresh truth sample, per-axis W1 + plot
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from multimodal_flows_tpu.utils.metrics import wasserstein1d
+
+    truth = TwoMoons(num_points_per_moon=n // 2, seed=9)
+    gen_xy = np.asarray(final.continuous)[:, 0, :]
+    w1x = wasserstein1d(gen_xy[:, 0], truth.continuous[:, 0])
+    w1y = wasserstein1d(gen_xy[:, 1], truth.continuous[:, 1])
+    log.info(f"W1(generated, truth): x={w1x:.3f} y={w1y:.3f} "
+             f"(truth scale ~3; <0.3 is visually closed)")
+
+    fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+    axes[0].scatter(gen_xy[:, 0], gen_xy[:, 1], c=labels, s=4,
+                    cmap="tab10", vmin=0, vmax=9)
+    axes[0].set_title("generated (t=1)")
+    axes[1].scatter(truth.continuous[:, 0], truth.continuous[:, 1],
+                    c=truth.discrete[:, 0], s=4, cmap="tab10", vmin=0, vmax=9)
+    axes[1].set_title("target law")
+    for ax in axes:
+        ax.set_xticks([]); ax.set_yticks([]); ax.axis("equal")
+    cmp_png = os.path.join(cfg.experiment_dir, "closure.png")
+    fig.savefig(cmp_png, dpi=120, bbox_inches="tight")
+    log.info(f"saved closure comparison -> {cmp_png}")
 
 
 if __name__ == "__main__":

@@ -141,7 +141,11 @@ class RandomTelegraphBridge:
         if k.ndim == 3:
             k = k[..., 0]
         qx = probs
-        qy = jnp.take_along_axis(qx, k[..., None].astype(jnp.int32), axis=2)  # (B,D,1)
+        # probability of the current token: one-hot dot instead of
+        # take_along_axis — gathers along the minor-most (lane) axis are
+        # slow on TPU, the masked sum fuses into the surrounding VPU ops
+        onehot = jax.nn.one_hot(k, self.vocab_size, dtype=qx.dtype)
+        qy = (qx * onehot).sum(axis=-1, keepdims=True)               # (B,D,1)
 
         wt = self.thermostat.w_ts(t.astype(jnp.float32), 1.0)  # (B,)
         A = 1.0

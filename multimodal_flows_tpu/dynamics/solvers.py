@@ -71,11 +71,15 @@ def _censored_poisson(key: Array, lam: Array) -> Array:
     return jnp.where(u < p0, 0, jnp.where(u < p01, 1, 2)).astype(jnp.int32)
 
 
-def _poisson_tauleap_tokens(key: Array, k: Array, rates: Array, dt: Array, vocab_size: int) -> Array:
+def _poisson_tauleap_tokens(u: Array, k: Array, rates: Array, dt: Array, vocab_size: int) -> Array:
     """Poisson tau-leap with at-most-one-jump gating
     (reference `solvers.py:47-54`), via a single uniform per site.
 
-    k: (B, D) int tokens, rates: (B, D, S), dt scalar.
+    u: (B, D) uniforms in [0,1), k: (B, D) int tokens, rates: (B, D, S),
+    dt scalar.  The caller supplies the uniforms so `simulate` can hoist
+    the whole trajectory's randomness into ONE batched PRNG call before
+    the scan (per-step threefry draws of ~B*D elements are fixed-overhead
+    dominated: ~0.9 ms/step at flagship size, PROFILE_r02).
 
     Distributionally exact optimization.  The reference draws S independent
     Poissons N_j ~ Poisson(r_j dt) per site and applies
@@ -96,7 +100,7 @@ def _poisson_tauleap_tokens(key: Array, k: Array, rates: Array, dt: Array, vocab
     total = rdt.sum(axis=-1, keepdims=True)                              # (B,D,1)
     base = jnp.exp(-total)                                               # P(N_tot = 0)
     cum = base * (1.0 + jnp.cumsum(rdt, axis=-1))                        # c_j
-    u = jax.random.uniform(key, k.shape, dtype=jnp.float32)[..., None]   # (B,D,1)
+    u = u[..., None]                                                     # (B,D,1)
     # index of the segment u falls in: u < base -> stay; u in
     # (c_{j-1}, c_j] -> move to j; u > c_{S-1} (the >=2 tail) -> stay
     jumped = (u >= base) & (u < cum[..., -1:])
@@ -171,7 +175,22 @@ class HybridSolver:
         # `model/solvers.py:68-69`, while tauleap_step divides by scalar T)
         self.class_freqs = class_freqs
 
+    #: True when the step's only randomness is one uniform per (jet, site)
+    #: — `simulate` then hoists the whole trajectory's draws into a single
+    #: batched PRNG call before the scan
+    @property
+    def uses_single_uniform(self) -> bool:
+        return self.method == "tauleap"
+
     def fwd_step(self, key: Array, state: MultiModal, dt: Array) -> Tuple[MultiModal, Array]:
+        u = (jax.random.uniform(key, state.discrete.shape[:2], dtype=jnp.float32)
+             if self.uses_single_uniform else None)
+        return self.fwd_step_u(key, u, state, dt)
+
+    def fwd_step_u(self, key: Optional[Array], u: Optional[Array],
+                   state: MultiModal, dt: Array) -> Tuple[MultiModal, Array]:
+        """Step with externally supplied uniforms `u` (tauleap) or a PRNG
+        key (euler); exactly one of the two is consumed per method."""
         vt, logits = self.apply_fn(state)
         if self.method == "euler" and self.class_freqs is not None:
             logits = _per_class_temperature(logits, self.temperature, self.class_freqs)
@@ -182,7 +201,7 @@ class HybridSolver:
         rates = self.bridge.rate(state.time, k, probs)                   # (B,D,S)
 
         if self.method == "tauleap":
-            k_new = _poisson_tauleap_tokens(key, k, rates, dt, self.vocab_size)
+            k_new = _poisson_tauleap_tokens(u, k, rates, dt, self.vocab_size)
         elif self.method == "euler":
             k_new = _euler_transition_tokens(key, k, rates, dt, self.top_k, self.top_p, self.vocab_size)
         else:
@@ -229,14 +248,24 @@ class DiscreteSolver:
         self.top_p = top_p
         self.method = method
 
+    @property
+    def uses_single_uniform(self) -> bool:
+        return self.method == "tauleap-poisson"
+
     def fwd_step(self, key: Array, state: MultiModal, dt: Array) -> Tuple[MultiModal, Array]:
+        u = (jax.random.uniform(key, state.discrete.shape[:2], dtype=jnp.float32)
+             if self.uses_single_uniform else None)
+        return self.fwd_step_u(key, u, state, dt)
+
+    def fwd_step_u(self, key: Optional[Array], u: Optional[Array],
+                   state: MultiModal, dt: Array) -> Tuple[MultiModal, Array]:
         logits = self.apply_fn(state)
         probs = _filtered_probs(logits, self.temperature, self.top_k, self.top_p)
         k = state.discrete[..., 0]
         rates = self.bridge.rate(state.time, k, probs)
 
         if self.method == "tauleap-poisson":
-            k_new = _poisson_tauleap_tokens(key, k, rates, dt, self.vocab_size)
+            k_new = _poisson_tauleap_tokens(u, k, rates, dt, self.vocab_size)
         elif self.method == "tauleap-bernouilli":  # reference spelling
             k_new = _bernoulli_tauleap_tokens(key, k, rates, dt, self.vocab_size)
         elif self.method == "euler":
@@ -276,34 +305,58 @@ def simulate(
 
     Mirrors `simulate_dynamics` (reference `MMF.py:172-200`) but compiled:
     `num_timesteps` iterations of (model forward -> rates -> tau-leap +
-    Euler), with per-step PRNG keys folded from `key`.
+    Euler).  For tau-leap solvers (whose only randomness is one uniform per
+    site) the whole trajectory's draws are hoisted into ONE batched PRNG
+    call before the scan — per-step threefry launches of ~B*D elements are
+    fixed-overhead dominated (~0.9 ms/step ≈ 12% of a flagship sampling
+    step, PROFILE_r02), while one (steps, B, D) draw amortizes to ~nothing.
+    Other solver methods keep per-step key folding.
     """
     ts, dt = time_grid(time_eps, num_timesteps)
     B = len(source)
+    D = source.num_particles
 
     track_rates = use_final_max_rates
     if track_rates:
-        D = source.num_particles
         init_rates = jnp.zeros((B, D, solver.vocab_size), dtype=jnp.float32)
     else:
         init_rates = None
 
-    def step(carry, t):
-        state, k, _ = carry
-        k, sub = jax.random.split(k)
-        state = state.replace(time=jnp.full((B,), t, dtype=jnp.float32))
-        out = solver.fwd_step(sub, state, dt)
-        if isinstance(out, tuple):
-            state, rates = out
-        else:
-            state, rates = out, None
-        last_rates = rates if track_rates else None
-        y = state if return_trajectory else None
-        return (state, k, last_rates), y
+    single_u = getattr(solver, "uses_single_uniform", False)
+    if single_u:
+        us = jax.random.uniform(key, (num_timesteps, B, D), dtype=jnp.float32)
+        xs = (ts, us)
 
-    (final_state, _, final_rates), traj = jax.lax.scan(
-        step, (source, key, init_rates), ts
-    )
+        def step(carry, x):
+            state, _ = carry
+            t, u = x
+            state = state.replace(time=jnp.full((B,), t, dtype=jnp.float32))
+            state, rates = solver.fwd_step_u(None, u, state, dt)
+            last_rates = rates if track_rates else None
+            y = state if return_trajectory else None
+            return (state, last_rates), y
+
+        (final_state, final_rates), traj = jax.lax.scan(
+            step, (source, init_rates), xs
+        )
+    else:
+
+        def step(carry, t):
+            state, k, _ = carry
+            k, sub = jax.random.split(k)
+            state = state.replace(time=jnp.full((B,), t, dtype=jnp.float32))
+            out = solver.fwd_step(sub, state, dt)
+            if isinstance(out, tuple):
+                state, rates = out
+            else:
+                state, rates = out, None
+            last_rates = rates if track_rates else None
+            y = state if return_trajectory else None
+            return (state, k, last_rates), y
+
+        (final_state, _, final_rates), traj = jax.lax.scan(
+            step, (source, key, init_rates), ts
+        )
 
     if track_rates:
         # argmax override of final tokens (reference `MMF.py:193-196`)

@@ -52,6 +52,15 @@ def make_noise_source(key, pad_mask: np.ndarray, config: Config) -> MultiModal:
     return MultiModal(time=t0, continuous=x, discrete=k, mask=mask)
 
 
+def _snap_batch(n: int) -> int:
+    """Smallest batch on the {8, 16, 32, 64k} ladder that fits n rows —
+    bounds the number of distinct tail programs ever compiled."""
+    for b in (8, 16, 32):
+        if n <= b:
+            return b
+    return ((n + 63) // 64) * 64
+
+
 def generate(
     system,
     params,
@@ -85,14 +94,15 @@ def generate(
 
         params = jax.device_put(params, replicated_sharding(mesh))
 
-    # tail shrinking: when the last partial batch would waste more than
-    # half its rows as padding, run it as a separate smaller program
-    # (power-of-two batch, so repeat calls reuse a handful of compiles)
-    # instead of padding to the full batch size — a one-jet tail bucket
-    # otherwise costs a whole `batch_size` trajectory (~12 s at 1000
-    # steps for 255 padded jets)
+    # tail shrinking: when the last partial batch would waste >=64 rows of
+    # padding, run it as a separate smaller program (sizes snap to the
+    # {8,16,32, multiples of 64} ladder so repeat calls reuse a handful of
+    # compiles) instead of padding to the full batch size — a one-jet tail
+    # bucket otherwise costs a whole `batch_size` trajectory (~12 s at
+    # 1000 steps for 255 padded jets)
     rem = num_jets % batch_size
-    if mesh is None and 0 < rem <= batch_size // 2 and num_jets > rem:
+    if (mesh is None and 0 < rem and num_jets > rem
+            and batch_size - _snap_batch(rem) >= 64):
         head = generate(system, params, pad_masks[:num_jets - rem],
                         num_timesteps=num_timesteps, temperature=temperature,
                         top_k=top_k, top_p=top_p,
@@ -110,12 +120,9 @@ def generate(
         return GenerationResult(sample=sample, jets_per_sec=num_jets / wall,
                                 wall_time_s=wall, num_timesteps=num_timesteps,
                                 temperature=temperature)
-    if mesh is None and num_jets <= batch_size // 2:
-        # shrink the program to the next power-of-two batch
-        b = 8
-        while b < num_jets:
-            b *= 2
-        batch_size = min(b, batch_size)
+    if mesh is None and num_jets < batch_size:
+        # shrink the program to the snapped batch ladder
+        batch_size = min(_snap_batch(num_jets), batch_size)
 
     # All batches run inside ONE compiled scan-of-scans: the outer scan walks
     # the stacked pad masks (noise drawn on device per batch), the inner scan
@@ -198,18 +205,23 @@ def generate_bucketed(
     pad_masks: np.ndarray,
     *,
     num_timesteps: int,
-    bucket_widths=(48, 64, 128),
+    bucket_widths=(32, 40, 48, 56, 64, 128),
     **kw,
 ) -> GenerationResult:
     """Multiplicity-bucketed generation: pad is wasted compute.
 
     AOJ jets average ~40 particles but the reference pads every jet to
     D=150, so ~3/4 of the attention/dense work is zeros.  Here jets are
-    grouped by multiplicity into static-width buckets (e.g. <=64, <=128,
-    rest), each bucket runs the compiled sampler at its own width, and the
-    outputs are re-padded and reassembled in the original order.  Exactly
-    the same per-jet distribution (masked attention + masked losses make
-    the model width-agnostic); only the zero-padding work is skipped.
+    grouped by multiplicity into static-width buckets, each bucket runs
+    the compiled sampler at its own width, and the outputs are re-padded
+    and reassembled in the original order.  Exactly the same per-jet
+    distribution (masked attention + masked losses make the model
+    width-agnostic); only the zero-padding work is skipped.  Default
+    widths step by 8 around the AOJ bulk (the sampling step is ~linear in
+    width with a ~1.5 ms intercept: 62.5/53.3/48.6/40.3 jets/s at
+    T=32/40/48/56, microbench r2), then jump to 64/128 for the tail —
+    widths in (128, 256) are avoided, see the T>128 MXU cliff in
+    PROFILE_r02.md.
 
     Not applicable with learned positional embeddings (`use_pos_emb`).
     """

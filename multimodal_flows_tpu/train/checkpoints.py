@@ -118,3 +118,13 @@ class CheckpointManager:
 
     def has(self, name: str) -> bool:
         return os.path.exists(os.path.join(self.dir, name))
+
+    @staticmethod
+    def load_path(target, path: str):
+        """Restore from an explicit orbax checkpoint directory (the
+        reference's `--ckpt_path` warm start, `scripts/train_mmf.py:24,170`)."""
+        path = os.path.abspath(path)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no checkpoint at {path}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        return ocp.StandardCheckpointer().restore(path, abstract)

@@ -266,6 +266,13 @@ class Trainer:
             state = self._from_ckpt(state, restored)
             start_epoch = int(restored["epoch"])
             log.info(f"resumed from {resume!r} at epoch {start_epoch}")
+        elif cfg.ckpt_path:
+            # explicit warm start from a checkpoint dir outside this
+            # experiment (reference `--ckpt_path`, train_mmf.py:24,170)
+            restored = CheckpointManager.load_path(self._to_ckpt(state), cfg.ckpt_path)
+            state = self._from_ckpt(state, restored)
+            start_epoch = int(restored["epoch"])
+            log.info(f"warm-started from {cfg.ckpt_path} at epoch {start_epoch}")
 
         train_epoch_fn = self.compiled_train_epoch()
         eval_epoch_fn = self.compiled_eval_epoch()

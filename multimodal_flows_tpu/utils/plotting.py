@@ -206,3 +206,26 @@ def plot_trajectories(trajectory: MultiModal, num_points: int = 500,
     if path:
         fig.savefig(path, dpi=120, bbox_inches="tight")
     return fig
+
+
+def plot_trajectory_panels(trajectory: MultiModal, num_points: int = 500,
+                           times: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                           path: Optional[str] = None):
+    """Reference tutorial figure (`notebooks/trajectories.png`): one panel
+    per snapshot time, points colored by their label AT that time over the
+    gray path bundle."""
+    x = np.asarray(trajectory.continuous)[:, :num_points, 0, :]   # (T, N, 2)
+    k = np.asarray(trajectory.discrete)[:, :num_points, 0, 0]     # (T, N)
+    T = x.shape[0]
+    fig, axes = plt.subplots(1, len(times), figsize=(2.6 * len(times), 2.8))
+    for ax, frac in zip(np.atleast_1d(axes), times):
+        ti = min(int(round(float(frac) * (T - 1))), T - 1)
+        ax.plot(x[:, :, 0], x[:, :, 1], color="gray", lw=0.15, alpha=0.25)
+        ax.scatter(x[ti, :, 0], x[ti, :, 1], c=k[ti], s=3, cmap="tab10",
+                   vmin=0, vmax=9, zorder=3)
+        ax.text(0.03, 0.95, f"t={frac:.1f}", transform=ax.transAxes, va="top")
+        ax.set_xticks([]); ax.set_yticks([]); ax.axis("equal")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+    return fig

@@ -25,8 +25,9 @@ def _toy_state(B=16, D=6, seed=0):
 def test_poisson_tauleap_token_range():
     state = _toy_state()
     rates = jnp.ones((16, 6, V)) * 2.0
+    u = jax.random.uniform(jax.random.PRNGKey(1), (16, 6))
     k_new = solvers._poisson_tauleap_tokens(
-        jax.random.PRNGKey(1), state.discrete[..., 0], rates, jnp.asarray(0.1), V)
+        u, state.discrete[..., 0], rates, jnp.asarray(0.1), V)
     arr = np.asarray(k_new)
     assert arr.min() >= 0 and arr.max() < V
 
@@ -45,7 +46,8 @@ def test_tauleap_zero_rates_no_jump():
     state = _toy_state()
     k = state.discrete[..., 0]
     rates = jnp.zeros((16, 6, V))
-    k_new = solvers._poisson_tauleap_tokens(jax.random.PRNGKey(2), k, rates, jnp.asarray(0.1), V)
+    u = jax.random.uniform(jax.random.PRNGKey(2), k.shape)
+    k_new = solvers._poisson_tauleap_tokens(u, k, rates, jnp.asarray(0.1), V)
     np.testing.assert_array_equal(np.asarray(k_new), np.asarray(k))
 
 
@@ -193,7 +195,8 @@ def test_single_uniform_tauleap_matches_full_poisson_law():
     diff = jnp.arange(V, dtype=jnp.int32)[None, None, :] - k0[:, :, None]
     k_ref = (k0 + (delta_n * diff).sum(-1) * jm) % V
 
-    k_new = solvers._poisson_tauleap_tokens(jax.random.PRNGKey(3), k0, rates, dt, V)
+    u = jax.random.uniform(jax.random.PRNGKey(3), k0.shape)
+    k_new = solvers._poisson_tauleap_tokens(u, k0, rates, dt, V)
 
     f_ref = np.bincount(np.asarray(k_ref).ravel(), minlength=V) / (B * D)
     f_new = np.bincount(np.asarray(k_new).ravel(), minlength=V) / (B * D)

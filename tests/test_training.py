@@ -142,6 +142,15 @@ def test_trainer_fit_checkpoint_resume(tmp_path):
     state2 = trainer2.fit(train_ds, val_ds, resume="last")
     assert int(state2.step) > int(state.step) - 1
 
+    # ckpt_path warm start (reference --ckpt_path): a NEW experiment picks
+    # up the saved weights from an explicit checkpoint dir
+    cfg3 = cfg.replace(max_epochs=3,
+                       ckpt_path=os.path.join(exp, "checkpoints", "last"))
+    cfg3.experiment_id = "warmstart"
+    trainer3 = Trainer(MMF(cfg3), cfg3, mesh=None)
+    state3 = trainer3.fit(train_ds, val_ds)
+    assert int(state3.step) > int(state.step) - 1
+
 
 def test_cfm_mjb_end_to_end():
     """CFM and MJB systems: a few train steps reduce the loss and the
