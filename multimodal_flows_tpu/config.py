@@ -114,6 +114,10 @@ class Config:
                                                  # v5e either way, PROFILE_r02.md)
     fsdp: bool = False                           # shard params + optimizer state
                                                  # over the data axis (ZeRO-3-style)
+    tensor_parallel: int = 1                     # model-axis size of a 2-D
+                                                 # (data, model) mesh: Megatron-style
+                                                 # sharding of the attention/MLP
+                                                 # kernels (parallel/mesh.py:tp_sharding)
     checkpoint_every_n_epochs: int = 1
     save_top_k: int = 10                         # best checkpoints kept per monitor
                                                  # (reference `train_mmf.py:128-148`)

@@ -25,12 +25,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from multimodal_flows_tpu.data.state import DataCoupling, MultiModal
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(devices: Optional[list] = None, axis_name: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(n_model: int, devices: Optional[list] = None) -> Mesh:
+    """(data, model) mesh: the trailing `n_model` devices of each row form
+    the tensor-parallel group.  On real pods the default device order keeps
+    ICI neighbours adjacent, so the model axis (which carries the per-layer
+    all-reduces) rides the fastest links."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % n_model == 0, f"{n} devices not divisible by model={n_model}"
+    arr = np.asarray(devices).reshape(n // n_model, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
@@ -86,6 +99,51 @@ def fsdp_sharding(params, mesh: Mesh, min_size: int = 2**12):
         return NamedSharding(mesh, P(*parts))
 
     return jax.tree.map(spec_of, params)
+
+
+#: column-parallel Dense layers (output dim sharded; bias sharded with it)
+_TP_COL = ("c_attn", "c_fc", "fc")
+#: row-parallel Dense layers (input dim sharded; bias replicated — it adds
+#: after the partitioner's all-reduce)
+_TP_ROW = ("c_proj", "proj")
+
+
+def tp_sharding(params, mesh: Mesh, model_axis: str = MODEL_AXIS):
+    """Megatron-style tensor-parallel layout for the set-encoder pytrees.
+
+    The encoders already use the Megatron pairing by construction: every
+    attention/MLP/head is a column-parallel Dense (`c_attn`, `c_fc`, `fc`)
+    feeding a row-parallel Dense (`c_proj`, `proj`).  Sharding just those
+    kernels over `model` and letting jit's SPMD partitioner propagate
+    yields the classic layout: the intermediate activations shard on the
+    hidden dim between the pair and one all-reduce per attention/MLP block
+    materializes the row-parallel output (the collectives the reference
+    would hand-write with NCCL fall out of the annotations; for `c_attn`
+    the partitioner additionally reshards around the packed-qkv split when
+    the shard grid does not align with the Q/K/V boundaries).
+
+    LayerNorms, embeddings, and time projections are replicated (they are
+    tiny and their inputs are row-replicated).  Any kernel whose sharded
+    dim does not divide the axis size falls back to replicated, so the same
+    spec works for tiny test models.
+    """
+    size = mesh.shape[model_axis]
+
+    def spec(path, leaf):
+        names = [getattr(k, "key", str(k)) for k in path]
+        parent = names[-2] if len(names) >= 2 else ""
+        last = names[-1]
+        if last == "kernel" and leaf.ndim == 2:
+            if parent in _TP_COL and leaf.shape[-1] % size == 0:
+                return NamedSharding(mesh, P(None, model_axis))
+            if parent in _TP_ROW and leaf.shape[0] % size == 0:
+                return NamedSharding(mesh, P(model_axis, None))
+        if last == "bias" and leaf.ndim == 1:
+            if parent in _TP_COL and leaf.shape[0] % size == 0:
+                return NamedSharding(mesh, P(model_axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def process_slice(n: int) -> slice:

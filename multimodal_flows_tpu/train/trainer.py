@@ -43,7 +43,12 @@ class Trainer:
                  steps_per_epoch: Optional[int] = None):
         self.system = system
         self.config = config
-        self.mesh = make_mesh() if mesh == "auto" else mesh
+        if mesh == "auto" and config.tensor_parallel > 1:
+            from multimodal_flows_tpu.parallel.mesh import make_mesh_2d
+
+            self.mesh = make_mesh_2d(config.tensor_parallel)
+        else:
+            self.mesh = make_mesh() if mesh == "auto" else mesh
         self._steps_per_epoch = steps_per_epoch
         self._compiled = {}
 
@@ -61,6 +66,8 @@ class Trainer:
 
     def init_state(self, key, steps_per_epoch: int) -> TrainState:
         params = self.system.init_params(key)
+        if self.config.fsdp and self.config.tensor_parallel > 1:
+            raise ValueError("fsdp and tensor_parallel are mutually exclusive")
         if self.config.fsdp and self.mesh is not None:
             # ZeRO-3-style: params (and everything derived from them — Adam
             # moments, EMA) live sharded over the data axis; jit inserts the
@@ -68,6 +75,14 @@ class Trainer:
             from multimodal_flows_tpu.parallel.mesh import fsdp_sharding
 
             shardings = fsdp_sharding(params, self.mesh)
+            params = jax.tree.map(jax.device_put, params, shardings)
+        elif self.config.tensor_parallel > 1 and self.mesh is not None:
+            # Megatron-style tensor parallelism: attention/MLP kernels live
+            # sharded over the `model` axis; optimizer moments and EMA
+            # inherit the layout, jit inserts the per-block all-reduces
+            from multimodal_flows_tpu.parallel.mesh import tp_sharding
+
+            shardings = tp_sharding(params, self.mesh)
             params = jax.tree.map(jax.device_put, params, shardings)
         self.tx = self.make_optimizer(steps_per_epoch)
         opt_state = self.tx.init(params)
@@ -245,10 +260,13 @@ class Trainer:
             resume: Optional[str] = None) -> TrainState:
         cfg = self.config
         if self.mesh is not None:
-            n_dev = self.mesh.devices.size
+            # batch shards over the data axis only (a 2-D mesh replicates
+            # the batch over `model`)
+            n_dev = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get(
+                "data", self.mesh.devices.size)
             assert cfg.batch_size % n_dev == 0, (
                 f"batch_size {cfg.batch_size} must be divisible by the "
-                f"{n_dev}-device data mesh")
+                f"{n_dev}-device data axis")
         spe = self._steps_per_epoch or max(num_batches(len(train_ds), cfg.batch_size), 1)
 
         key = jax.random.PRNGKey(cfg.seed)
