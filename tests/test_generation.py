@@ -258,3 +258,16 @@ def test_generate_tail_batch_shrinking():
         assert np.isfinite(res.sample.continuous).all()
         toks = np.asarray(res.sample.discrete)
         assert toks.min() >= 0 and toks.max() < cfg.vocab_size
+
+
+def test_snap_batch_ladder():
+    """Tail programs snap to the {8,16,32, multiples-of-64} ladder so the
+    compile count stays bounded while padding waste stays <64 rows."""
+    from multimodal_flows_tpu.sampling.generator import _snap_batch
+
+    assert [_snap_batch(n) for n in (1, 8, 9, 16, 17, 32)] == [8, 8, 16, 16, 32, 32]
+    assert [_snap_batch(n) for n in (33, 64, 65, 128, 129, 200, 255)] == \
+        [64, 64, 128, 128, 192, 256, 256]
+    for n in range(33, 400):
+        b = _snap_batch(n)
+        assert b >= n and b - n < 64 and b % 64 == 0
