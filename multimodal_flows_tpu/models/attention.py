@@ -99,9 +99,14 @@ class SelfAttention(nn.Module):
         p_attn = self.dropout if self.attn_dropout is None else self.attn_dropout
         rng = (self.make_rng("dropout")
                if (p_attn > 0.0 and not deterministic) else None)
+        # qk-LN bounds |scores| <= gamma_q gamma_k sqrt(hs), so the softmax
+        # can skip its max-subtract passes over (B,H,T,T); learned pairwise
+        # biases (co-occurrence / Lund) are unbounded -> keep the safe path
         y = multihead_attention_btc(q, k, v, self.n_head, attn_bias, key_mask,
                                     impl=self.attn_impl, dropout_rate=p_attn,
-                                    dropout_rng=rng)
+                                    dropout_rng=rng,
+                                    unnormalized_softmax=(
+                                        self.qk_layernorm and attn_bias is None))
         y = nn.Dense(self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
                      dtype=self.dtype, name="c_proj")(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)

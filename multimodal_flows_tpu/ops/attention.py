@@ -94,7 +94,8 @@ def multihead_attention(
 def _xla_attention_btc(q: Array, k: Array, v: Array, n_head: int,
                        bias: Optional[Array], key_mask: Optional[Array],
                        dropout_rate: float = 0.0,
-                       dropout_rng: Optional[Array] = None) -> Array:
+                       dropout_rng: Optional[Array] = None,
+                       unnormalized_softmax: bool = False) -> Array:
     """Attention from token-major (B, T, C) tensors: the head split is a
     free reshape and XLA folds the (B,T,H,hs)->(B,H,T,hs) transposes into
     the dots, avoiding the materialized head-layout relayouts of the
@@ -113,7 +114,17 @@ def _xla_attention_btc(q: Array, k: Array, v: Array, n_head: int,
         scores = scores + key_mask[:, None, None, :].astype(scores.dtype)
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if unnormalized_softmax:
+        # skip the max-subtract passes over the (B,H,T,T) score tensor —
+        # safe only when the caller guarantees bounded scores (qk-LN keeps
+        # |s| <~ gamma^2 sqrt(hs); the clamp is a backstop, exp(60) is
+        # finite in fp32 and -1e9 key masks still flush pads to exactly 0)
+        e = jnp.exp(jnp.minimum(scores, 60.0))
+        # +1e-30 guards the (degenerate, never-for-real-jets) all-masked
+        # row: 0/eps -> zero attention instead of NaN
+        probs = e / (e.sum(axis=-1, keepdims=True) + 1e-30)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep.astype(probs.dtype) / (1.0 - dropout_rate)
@@ -133,6 +144,7 @@ def multihead_attention_btc(
     impl: Optional[str] = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[Array] = None,
+    unnormalized_softmax: bool = False,
 ) -> Array:
     """Attention over token-major (B, T, C) q/k/v with heads packed in C.
 
@@ -154,4 +166,5 @@ def multihead_attention_btc(
 
         return pallas_btc_attention(q, k, v, key_mask, n_head)
     return _xla_attention_btc(q, k, v, n_head, bias, key_mask,
-                              dropout_rate, dropout_rng)
+                              dropout_rate, dropout_rng,
+                              unnormalized_softmax=unnormalized_softmax)

@@ -120,3 +120,27 @@ def test_pallas_btc_interpret_parity_and_grads():
     ref2 = _xla_attention_btc(q, k, v, H, None, None)
     out2 = pallas_btc_attention(q, k, v, None, H, 16, True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-5)
+
+
+def test_unnormalized_softmax_matches_safe_softmax():
+    """The max-subtract-free softmax (enabled when qk-LN bounds the scores)
+    must match the safe softmax exactly on bounded inputs, including -1e9
+    key masking and gradients."""
+    from multimodal_flows_tpu.ops.attention import _xla_attention_btc
+
+    B, T, C, H = 6, 10, 32, 4
+    q, k, v = _btc_qkv(B, T, C)
+    mask = _mask(B, T)
+    km = jnp.where(mask[..., 0] > 0, 0.0, -1e9).astype(jnp.float32)
+
+    ref = _xla_attention_btc(q, k, v, H, None, km)
+    out = _xla_attention_btc(q, k, v, H, None, km, unnormalized_softmax=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    g_ref = jax.grad(lambda a: (_xla_attention_btc(a, k, v, H, None, km) ** 2).sum())(q)
+    g_out = jax.grad(lambda a: (_xla_attention_btc(
+        a, k, v, H, None, km, unnormalized_softmax=True) ** 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-5)
+
+    # full rows of pad keys on pad queries stay finite
+    assert np.isfinite(np.asarray(out)).all()
