@@ -75,16 +75,43 @@ def generate(
     seed: int = 0,
     mesh=None,
     metadata: Optional[Dict] = None,
+    max_dispatch_steps: int = 16_000,
 ) -> GenerationResult:
     """Generate jets for every pad mask row, batched at a static shape.
 
-    The whole run is one compiled scan-of-scans (see below); the tail batch
+    Each dispatch is one compiled scan-of-scans (see below); the tail batch
     is padded to `batch_size` and trimmed after, so `num_timesteps` and the
     batch count are the only compile-relevant knobs.
+
+    `max_dispatch_steps` caps batches*timesteps per device program: a
+    single XLA execution covering a 50k-jet x 500-step run (~5 min on
+    device) crashed the remote TPU worker, so large runs split into
+    chunked dispatches (~30-90 s each) at negligible dispatch cost.
     """
     cfg = system.config
     num_jets = pad_masks.shape[0]
     key = jax.random.PRNGKey(seed)
+
+    # chunk very long runs into bounded device programs
+    batches_cap = max(1, max_dispatch_steps // max(num_timesteps, 1))
+    cap_jets = batches_cap * batch_size
+    if num_jets > cap_jets:
+        pieces = []
+        wall = 0.0
+        for i, lo in enumerate(range(0, num_jets, cap_jets)):
+            part = generate(system, params, pad_masks[lo:lo + cap_jets],
+                            num_timesteps=num_timesteps, temperature=temperature,
+                            top_k=top_k, top_p=top_p,
+                            use_final_max_rates=use_final_max_rates,
+                            batch_size=batch_size, seed=seed + 7919 * i,
+                            mesh=mesh, metadata=metadata,
+                            max_dispatch_steps=max_dispatch_steps)
+            pieces.append(part.sample)
+            wall += part.wall_time_s
+        sample = MultiModal.concat(pieces)
+        return GenerationResult(sample=sample, jets_per_sec=num_jets / wall,
+                                wall_time_s=wall, num_timesteps=num_timesteps,
+                                temperature=temperature)
 
     if mesh is not None:
         assert batch_size % mesh.devices.size == 0, (

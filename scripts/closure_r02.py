@@ -93,6 +93,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--workdir", default="/tmp/closure_r02")
     p.add_argument("--outdir", default="closure")
+    p.add_argument("--reuse_experiment", default=None,
+                   help="existing experiment id under workdir/closure/: skip "
+                        "training and load its 'best' checkpoint (finish a "
+                        "run whose generation phase was interrupted)")
     args = p.parse_args(argv)
 
     import h5py
@@ -140,7 +144,10 @@ def main(argv=None):
         bucketed_training=True, bucket_widths=[48],
         metadata=metadata, dir=args.workdir, project="closure", seed=0,
     )
-    cfg.mint_experiment_id()
+    if args.reuse_experiment:
+        cfg.experiment_id = args.reuse_experiment
+    else:
+        cfg.mint_experiment_id()
     system = MMF(cfg)
     n_params = sum(x.size for x in jax.tree.leaves(
         system.init_params(jax.random.PRNGKey(0))))
@@ -160,7 +167,8 @@ def main(argv=None):
     # ---- 2. train
     trainer = Trainer(system, cfg, mesh=None)
     t0 = time.time()
-    trainer.fit(train_ds, val_ds)
+    if not args.reuse_experiment:
+        trainer.fit(train_ds, val_ds)
     train_s = time.time() - t0
     log.info(f"training done in {train_s:.0f}s")
     params = trainer.load_for_inference("best")
