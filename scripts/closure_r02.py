@@ -93,6 +93,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--workdir", default="/tmp/closure_r02")
     p.add_argument("--outdir", default="closure")
+    p.add_argument("--n_embd", type=int, default=128)
+    p.add_argument("--n_layer", type=int, default=4)
+    p.add_argument("--n_layer_fused", type=int, default=5)
     p.add_argument("--reuse_experiment", default=None,
                    help="existing experiment id under workdir/closure/: skip "
                         "training and load its 'best' checkpoint (finish a "
@@ -136,8 +139,9 @@ def main(argv=None):
     log.info(f"train {len(jets)} jets, held-out test {len(test_jets)}")
 
     cfg = Config(
-        model="ParticleFormer", n_embd=128, n_inner=256, n_layer=4,
-        n_layer_fused=5, n_head=4, vocab_size=9, dim_continuous=3,
+        model="ParticleFormer", n_embd=args.n_embd, n_inner=2 * args.n_embd,
+        n_layer=args.n_layer, n_layer_fused=args.n_layer_fused,
+        n_head=4, vocab_size=9, dim_continuous=3,
         max_num_particles=args.max_p, batch_size=args.batch_size,
         max_epochs=args.epochs, lr=1e-3, lr_final=1e-5, warmup_epochs=2,
         use_ema_weights=True, multitask_loss="time-weighted",
