@@ -47,7 +47,12 @@ def generate_synthetic_pfcands(num_jets: int, max_p: int, seed: int = 0) -> np.n
     slot = np.arange(max_p)[None, :]
     mask = slot < n[:, None]                                     # (J, P)
 
-    jet_pt = rng.uniform(400.0, 600.0, num_jets)[:, None]
+    # falling jet-pT spectrum like real AOJ QCD jets: p(pT) ~ pT^-4.5,
+    # truncated to [400, 1000] GeV via inverse-CDF sampling
+    u_pt = rng.random(num_jets)
+    a, lo, hi = 3.5, 400.0, 1000.0          # p(pT) ~ pT^-(a+1)
+    jet_pt = (lo**-a + u_pt * (hi**-a - lo**-a)) ** (-1.0 / a)
+    jet_pt = jet_pt[:, None]
     # particle pT fractions: exponential decay over the pt-ordered slots
     w = rng.exponential(1.0, (num_jets, max_p)) * np.exp(-slot / 12.0)
     w = np.where(mask, w, 0.0)
@@ -123,14 +128,14 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
 
     # ---- 1. synthetic AOJ file -> production loader
-    h5_path = os.path.join(args.workdir, "RunG_synth.h5")
+    h5_path = os.path.join(args.workdir, "RunG_synth_v2.h5")
     if not os.path.exists(h5_path):
         pf = generate_synthetic_pfcands(args.num_jets + 30_000, args.max_p, seed=0)
         with h5py.File(h5_path, "w") as f:
             f.create_dataset("PFCands", data=pf)
         log.info(f"wrote synthetic PFCands {pf.shape} -> {h5_path}")
 
-    aoj = AspenOpenJets(args.workdir, "RunG_synth.h5")
+    aoj = AspenOpenJets(args.workdir, "RunG_synth_v2.h5")
     jets, metadata = aoj(num_jets=args.num_jets, max_num_particles=args.max_p,
                          transform="standardize")
     test_jets, _ = aoj(num_jets=None, max_num_particles=args.max_p,
