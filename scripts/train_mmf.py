@@ -87,6 +87,12 @@ def experiment_configs(argv=None) -> Config:
                    help="group jets by multiplicity into static-width "
                         "buckets (2-3x faster epochs; within-bucket batches)")
     p.add_argument("--remat", action="store_true", default=False)
+    p.add_argument("--fsdp", action="store_true", default=False,
+                   help="ZeRO-3-style: shard params + optimizer state over "
+                        "the data axis")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="model-axis size of a (data, model) mesh with "
+                        "Megatron-style kernel sharding")
 
     args = p.parse_args(argv)
     ns = vars(args)
