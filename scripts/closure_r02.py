@@ -256,7 +256,7 @@ End-to-end quality closure of the TPU rebuild on synthetic AOJ-like jets
 jet-pT spectrum, collimated constituents, and pT-correlated AOJ-like
 flavor fractions — see `scripts/closure_r02.py`).
 
-- model: ParticleFormer MMF, {n_params/1e6:.2f}M params (n_embd 128, 3+4 layers)
+- model: ParticleFormer MMF, {n_params/1e6:.2f}M params (n_embd {args.n_embd}, {args.n_layer}+{args.n_layer_fused} layers)
 - trained {args.epochs} epochs on {len(train_ds):,} jets ({train_s:.0f}s on one chip)
 - generated {len(res.sample):,} jets @ {args.num_timesteps} tau-leap steps
   ({res.jets_per_sec:.1f} jets/s) with EMA weights from the `best` checkpoint
