@@ -260,6 +260,30 @@ def test_generate_tail_batch_shrinking():
         assert toks.min() >= 0 and toks.max() < cfg.vocab_size
 
 
+def test_generate_under_tensor_parallel_mesh():
+    """Sampling with params laid out by tp_sharding on a (4, 2) mesh: the
+    generator replicates params onto the mesh and the batch shards over
+    `data` only."""
+    from multimodal_flows_tpu.parallel.mesh import make_mesh_2d, tp_sharding
+    from multimodal_flows_tpu.sampling.generator import generate
+
+    cfg = tiny_cfg(max_num_particles=8, batch_size=8)
+    sys_ = MMF(cfg)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh_2d(2)
+    params = jax.tree.map(jax.device_put, params, tp_sharding(params, mesh))
+
+    rng = np.random.default_rng(0)
+    n = rng.integers(1, 9, size=16)
+    masks = (np.arange(8)[None, :] < n[:, None]).astype(np.int64)[..., None]
+    res = generate(sys_, params, masks, num_timesteps=3, batch_size=8,
+                   mesh=mesh, seed=1)
+    assert len(res.sample) == 16
+    toks = np.asarray(res.sample.discrete)
+    assert toks.min() >= 0 and toks.max() < cfg.vocab_size
+    assert np.isfinite(res.sample.continuous).all()
+
+
 def test_snap_batch_ladder():
     """Tail programs snap to the {8,16,32, multiples-of-64} ladder so the
     compile count stays bounded while padding waste stays <64 rows."""
