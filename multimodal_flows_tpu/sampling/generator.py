@@ -75,7 +75,7 @@ def generate(
     seed: int = 0,
     mesh=None,
     metadata: Optional[Dict] = None,
-    max_dispatch_steps: int = 16_000,
+    max_dispatch_steps: int = 8_000,
 ) -> GenerationResult:
     """Generate jets for every pad mask row, batched at a static shape.
 
@@ -83,10 +83,11 @@ def generate(
     is padded to `batch_size` and trimmed after, so `num_timesteps` and the
     batch count are the only compile-relevant knobs.
 
-    `max_dispatch_steps` caps batches*timesteps per device program: a
-    single XLA execution covering a 50k-jet x 500-step run (~5 min on
-    device) crashed the remote TPU worker, so large runs split into
-    chunked dispatches (~30-90 s each) at negligible dispatch cost.
+    `max_dispatch_steps` caps batches*timesteps per device program: single
+    XLA executions in the multi-minute range crash the remote TPU worker
+    (observed at ~5 min nominal, and again at ~77 s nominal on a degraded
+    tunnel running ~4x slow), so large runs split into chunked dispatches
+    (~40 s nominal each) at negligible dispatch cost.
     """
     cfg = system.config
     num_jets = pad_masks.shape[0]

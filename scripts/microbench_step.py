@@ -19,6 +19,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--shapes", default="48:256,48:512,64:256,40:256,32:256")
     p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--ablate", action="store_true",
+                   help="also time a forward-only scan at each shape to "
+                        "isolate the solver overhead beyond the model fwd")
     args = p.parse_args()
 
     import jax
@@ -64,6 +67,31 @@ def main():
         jps = B / (ms * 1e-3 * 1000)
         print(f"T={T:4d} B={B:5d}: {ms:6.2f} ms/step  -> {jps:6.1f} jets/s @1000",
               flush=True)
+
+        if args.ablate:
+            # forward-only scan: same state threading, no solver arithmetic
+            @jax.jit
+            def run_fwd(p, s0):
+                def body(s, t):
+                    s = s.replace(time=jnp.full((B,), t, jnp.float32))
+                    vt, logits = system.module.apply(p, s)
+                    s = s.replace(continuous=s.continuous + 0.0 * vt)
+                    return s, None
+                ts = jnp.linspace(0.01, 0.99, args.steps)
+                out, _ = jax.lax.scan(body, s0, ts)
+                return out
+
+            f2 = run_fwd(params, src)
+            float(jax.tree.leaves(f2)[0].ravel()[-1])
+            bf = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                f2 = run_fwd(params, src)
+                float(jax.tree.leaves(f2)[0].ravel()[-1])
+                bf = min(bf, time.perf_counter() - t0)
+            msf = bf / args.steps * 1e3
+            print(f"           fwd-only: {msf:6.2f} ms/step  "
+                  f"(solver overhead {ms - msf:5.2f} ms)", flush=True)
 
 
 if __name__ == "__main__":
