@@ -62,15 +62,20 @@ class SelfAttention(nn.Module):
                        dtype=self.dtype, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
+        if self.qk_layernorm:
+            # per-head-size LayerNorm, params shared across heads; applied
+            # in token layout (B, T, H, hs) — a free reshape — instead of
+            # the head-transposed layout: LN over hs commutes with the
+            # transpose, so the math and the param tree are unchanged while
+            # the kernel path below needs no transposes at all.  Applied
+            # before the decode/full-sequence split (identical in both).
+            q = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="q_layernorm")(
+                q.reshape(B, T, self.n_head, hs)).reshape(B, T, C)
+            k = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="k_layernorm")(
+                k.reshape(B, T, self.n_head, hs)).reshape(B, T, C)
+
         if kv_cache is not None:
             k_cache, v_cache, pos = kv_cache
-            if self.qk_layernorm:
-                q = LayerNorm(use_bias=self.use_bias, dtype=self.dtype,
-                              name="q_layernorm")(
-                    q.reshape(B, T, self.n_head, hs)).reshape(B, T, C)
-                k = LayerNorm(use_bias=self.use_bias, dtype=self.dtype,
-                              name="k_layernorm")(
-                    k.reshape(B, T, self.n_head, hs)).reshape(B, T, C)
             k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, pos, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, pos, 0))
             # causal: only cached positions <= pos are valid keys
@@ -85,28 +90,22 @@ class SelfAttention(nn.Module):
                          name="c_proj")(y)
             return y, (k_cache, v_cache, pos)
 
-        if self.qk_layernorm:
-            # per-head-size LayerNorm, params shared across heads; applied
-            # in token layout (B, T, H, hs) — a free reshape — instead of
-            # the head-transposed layout: LN over hs commutes with the
-            # transpose, so the math and the param tree are unchanged while
-            # the kernel path below needs no transposes at all
-            q = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="q_layernorm")(
-                q.reshape(B, T, self.n_head, hs)).reshape(B, T, C)
-            k = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="k_layernorm")(
-                k.reshape(B, T, self.n_head, hs)).reshape(B, T, C)
-
         p_attn = self.dropout if self.attn_dropout is None else self.attn_dropout
         rng = (self.make_rng("dropout")
                if (p_attn > 0.0 and not deterministic) else None)
-        # qk-LN bounds |scores| <= gamma_q gamma_k sqrt(hs), so the softmax
-        # can skip its max-subtract passes over (B,H,T,T); learned pairwise
-        # biases (co-occurrence / Lund) are unbounded -> keep the safe path
+        # qk-LN bounds |scores| <= gamma_q gamma_k sqrt(hs) for trained
+        # gammas, so the softmax can skip its max-subtract passes over
+        # (B,H,T,T) at inference (the sampling hot path).  Training keeps
+        # the safe softmax: the gains are learned and unbounded, and the
+        # clamp backstop would silently flatten gradients if scores ever
+        # grew past it.  Learned pairwise biases (co-occurrence / Lund)
+        # are unbounded -> safe path there too.
         y = multihead_attention_btc(q, k, v, self.n_head, attn_bias, key_mask,
                                     impl=self.attn_impl, dropout_rate=p_attn,
                                     dropout_rng=rng,
                                     unnormalized_softmax=(
-                                        self.qk_layernorm and attn_bias is None))
+                                        self.qk_layernorm and attn_bias is None
+                                        and deterministic))
         y = nn.Dense(self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
                      dtype=self.dtype, name="c_proj")(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)

@@ -136,13 +136,13 @@ def generate(
                         top_k=top_k, top_p=top_p,
                         use_final_max_rates=use_final_max_rates,
                         batch_size=batch_size, seed=seed, mesh=mesh,
-                        metadata=metadata)
+                        metadata=metadata, max_dispatch_steps=max_dispatch_steps)
         tail = generate(system, params, pad_masks[num_jets - rem:],
                         num_timesteps=num_timesteps, temperature=temperature,
                         top_k=top_k, top_p=top_p,
                         use_final_max_rates=use_final_max_rates,
                         batch_size=batch_size, seed=seed + 104729, mesh=mesh,
-                        metadata=metadata)
+                        metadata=metadata, max_dispatch_steps=max_dispatch_steps)
         sample = MultiModal.concat([head.sample, tail.sample])
         wall = head.wall_time_s + tail.wall_time_s
         return GenerationResult(sample=sample, jets_per_sec=num_jets / wall,

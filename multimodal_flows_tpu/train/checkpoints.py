@@ -74,15 +74,22 @@ class CheckpointManager:
         written = {"last": True}
         self._save_to("last", state)
 
+        import math
+
         for slot, metric in self.monitors.items():
             value = metrics.get(metric)
+            written[slot] = written[slot + "_topk"] = False
             if value is None:
-                written[slot] = written[slot + "_topk"] = False
                 continue
             value = float(value)
+            # a NaN/inf metric (diverged epoch) must never enter the
+            # ranking: NaN comparisons are all False, so one poisoned
+            # entry would scramble the sort and freeze the best slot
+            # for the rest of the run
+            if not math.isfinite(value):
+                continue
             ranked = self.index["topk"].setdefault(slot, [])
             in_topk = len(ranked) < self.top_k or value < ranked[-1]["value"]
-            written[slot] = written[slot + "_topk"] = False
             if not in_topk:
                 continue
             entry = {"value": value, "epoch": epoch, "name": f"{slot}-ep{epoch}"}
@@ -96,7 +103,17 @@ class CheckpointManager:
             del ranked[self.top_k:]
             written[slot + "_topk"] = True
             if ranked[0]["name"] == entry["name"]:  # new overall best
-                self._save_to(slot, state)
+                # the plain slot (`best`, `best_mse`, ...) is a symlink to
+                # the #1 ranked dir — avoids a second full serialization of
+                # the same pytree every improving epoch.  Safe against
+                # eviction: the #1 entry can only leave the ranking in a
+                # save() that installs a new #1, which re-points the link.
+                link = os.path.join(self.dir, slot)
+                if os.path.islink(link):
+                    os.unlink(link)
+                elif os.path.isdir(link):  # legacy full-copy slot
+                    shutil.rmtree(link)
+                os.symlink(entry["name"], link)
                 self.index["best_values"][slot] = {"value": value, "epoch": epoch}
                 written[slot] = True
 

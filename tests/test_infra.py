@@ -268,3 +268,28 @@ def test_tensorboard_sink(tmp_path):
     assert scalars == {"train_loss": 1.5, "val_loss": 2.25}
     step, scalars = _parse_event_scalars(records[2])
     assert step == 8 and scalars == {"train_loss": 1.25}
+
+
+def test_checkpoint_nan_metric_never_enters_ranking(tmp_path):
+    """A diverged (NaN/inf) validation metric must not poison the top-k
+    ranking: NaN comparisons are all False, so one poisoned entry would
+    scramble the sort and freeze the best slot for the rest of the run."""
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitors={"best": "val_loss"},
+                            top_k=3)
+
+    def st(v):
+        return {"w": np.full(2, float(v))}
+
+    seq = {1: 1.0, 2: float("nan"), 3: 0.5, 4: float("inf"), 5: 0.1}
+    for ep, v in seq.items():
+        w = mgr.save(st(ep), {"val_loss": v}, epoch=ep)
+        if not np.isfinite(v):
+            assert not w["best"] and not w["best_topk"]
+
+    ranked = mgr.index["topk"]["best"]
+    assert [e["epoch"] for e in ranked] == [5, 3, 1]
+    assert all(np.isfinite(e["value"]) for e in ranked)
+    # best slot tracks the recovered post-divergence optimum
+    tpl = {"w": np.zeros(2)}
+    assert mgr.load(tpl, "best")["w"][0] == 5.0
+    assert mgr.index["best_values"]["best"]["value"] == 0.1
