@@ -118,6 +118,12 @@ class Config:
                                                  # (data, model) mesh: Megatron-style
                                                  # sharding of the attention/MLP
                                                  # kernels (parallel/mesh.py:tp_sharding)
+    epoch_hbm_budget_mb: int = 4096              # cap on the device-resident epoch
+                                                 # batch stack; bigger epochs stream
+                                                 # in double-buffered super-chunks
+                                                 # (trainer._epoch_chunks) so the
+                                                 # reference's 1.25M-jet workload
+                                                 # fits a 16 GB chip
     checkpoint_every_n_epochs: int = 1
     save_top_k: int = 10                         # best checkpoints kept per monitor
                                                  # (reference `train_mmf.py:128-148`)

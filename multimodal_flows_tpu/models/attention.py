@@ -49,11 +49,15 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x: Array, attn_bias: Optional[Array] = None,
                  deterministic: bool = True, key_mask: Optional[Array] = None,
+                 segments: Optional[Array] = None,
                  kv_cache: Optional[tuple] = None):
         """kv_cache — autoregressive decode mode: x is the single position
         `pos`, kv_cache = (k_cache, v_cache, pos) with caches (B, T, C).
         Returns (y, (k_cache, v_cache, pos)) with the caches updated at
-        `pos`; attention sees only cached positions <= pos (causal)."""
+        `pos`; attention sees only cached positions <= pos (causal).
+
+        segments — (B, T) int ids for block-diagonal packed multi-jet rows
+        (pads = -1); attention is restricted to same-segment pairs."""
         assert self.n_embd % self.n_head == 0
         B, T, C = x.shape
         hs = C // self.n_head
@@ -105,7 +109,8 @@ class SelfAttention(nn.Module):
                                     dropout_rng=rng,
                                     unnormalized_softmax=(
                                         self.qk_layernorm and attn_bias is None
-                                        and deterministic))
+                                        and deterministic),
+                                    segments=segments)
         y = nn.Dense(self.n_embd, use_bias=self.use_bias, kernel_init=DENSE_INIT,
                      dtype=self.dtype, name="c_proj")(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
@@ -176,6 +181,7 @@ class SelfAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, attn_bias: Optional[Array] = None,
                  deterministic: bool = True, key_mask: Optional[Array] = None,
+                 segments: Optional[Array] = None,
                  kv_cache: Optional[tuple] = None):
         n_inner = self.n_inner if self.n_inner is not None else 4 * self.n_embd
         h = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="ln1")(x)
@@ -183,10 +189,10 @@ class SelfAttnBlock(nn.Module):
                              self.qk_layernorm, self.dtype, self.attn_impl,
                              self.attn_dropout, name="attn")
         if kv_cache is not None:
-            y, kv_cache = attn(h, attn_bias, deterministic, key_mask, kv_cache)
+            y, kv_cache = attn(h, attn_bias, deterministic, key_mask, segments, kv_cache)
             x = x + y
         else:
-            x = x + attn(h, attn_bias, deterministic, key_mask)
+            x = x + attn(h, attn_bias, deterministic, key_mask, segments)
         h = LayerNorm(use_bias=self.use_bias, dtype=self.dtype, name="ln2")(x)
         x = x + MLP(n_inner, dropout=self.dropout, use_bias=self.use_bias,
                     dtype=self.dtype, activation=self.activation,

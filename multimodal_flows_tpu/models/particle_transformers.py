@@ -130,17 +130,26 @@ class ParticleFormer(nn.Module):
     config: Config
 
     @nn.compact
-    def __call__(self, state: MultiModal, deterministic: bool = True):
+    def __call__(self, state: MultiModal, deterministic: bool = True,
+                 segments: Optional[Array] = None):
         cfg = self.config
         dt = _dtype(cfg)
         half = cfg.n_embd // 2
 
         # default path: compact key-side mask (no (B,1,D,D) pair tensor);
-        # pairwise variants fold the pad pair mask into the full bias
+        # pairwise variants fold the pad pair mask into the full bias.
+        # `segments` (packed multi-jet rows, pads = -1) replaces the key
+        # mask: the block-diagonal same-segment comparison subsumes pad
+        # masking and is fused into the softmax (ops/attention.py).
         if cfg.use_coocurrence:
             key_mask = None
-            attn_bias = pair_mask_bias(state.mask) + _CoOccurrenceBias(
+            attn_bias = _CoOccurrenceBias(
                 cfg.vocab_size, cfg.n_embd, cfg.n_head, dt, name="coocc")(state.discrete[..., 0])
+            if segments is None:
+                attn_bias = pair_mask_bias(state.mask) + attn_bias
+        elif segments is not None:
+            key_mask = None
+            attn_bias = None
         else:
             key_mask = key_mask_bias(state.mask)
             attn_bias = None
@@ -157,7 +166,7 @@ class ParticleFormer(nn.Module):
         for i in range(cfg.n_layer):
             x = _block_cls(cfg)(half, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_x_{i}")(x, attn_bias, deterministic, key_mask)
+                              name=f"block_x_{i}")(x, attn_bias, deterministic, key_mask, segments)
             x = x + time_emb
         x = LayerNorm(dtype=dt, name="ln2_x")(x + x_skip)
 
@@ -171,7 +180,7 @@ class ParticleFormer(nn.Module):
         for i in range(cfg.n_layer):
             y = _block_cls(cfg)(half, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_y_{i}")(y, attn_bias, deterministic, key_mask)
+                              name=f"block_y_{i}")(y, attn_bias, deterministic, key_mask, segments)
             y = y + time_emb
         y = LayerNorm(dtype=dt, name="ln2_y")(y + y_skip)
 
@@ -184,7 +193,7 @@ class ParticleFormer(nn.Module):
         for i in range(cfg.n_layer_fused):
             z = _block_cls(cfg)(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_fuse_{i}")(z, attn_bias, deterministic, key_mask)
+                              name=f"block_fuse_{i}")(z, attn_bias, deterministic, key_mask, segments)
             z = z + time_emb2
 
         x, y = jnp.split(z, 2, axis=-1)
@@ -203,12 +212,13 @@ class FusedParticleFormer(nn.Module):
     config: Config
 
     @nn.compact
-    def __call__(self, state: MultiModal, deterministic: bool = True):
+    def __call__(self, state: MultiModal, deterministic: bool = True,
+                 segments: Optional[Array] = None):
         cfg = self.config
         dt = _dtype(cfg)
         half = cfg.n_embd // 2
 
-        key_mask = key_mask_bias(state.mask)
+        key_mask = None if segments is not None else key_mask_bias(state.mask)
         attn_bias = None
 
         x = _EmbedMLP(cfg.n_embd, half, use_bias=cfg.bias, dtype=dt, name="wxe")(
@@ -227,7 +237,7 @@ class FusedParticleFormer(nn.Module):
         for i in range(cfg.n_layer):
             z = _block_cls(cfg)(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_{i}")(z, attn_bias, deterministic, key_mask)
+                              name=f"block_{i}")(z, attn_bias, deterministic, key_mask, segments)
             z = z + time_emb
 
         z = LayerNorm(dtype=dt, name="ln2")(z + z_skip)
@@ -246,15 +256,24 @@ class FlavorFormer(nn.Module):
     config: Config
 
     @nn.compact
-    def __call__(self, state: MultiModal, deterministic: bool = True):
+    def __call__(self, state: MultiModal, deterministic: bool = True,
+                 segments: Optional[Array] = None):
         cfg = self.config
         dt = _dtype(cfg)
+        if segments is not None and cfg.use_pos_emb:
+            raise ValueError("packed rows (segments) are incompatible with "
+                             "learned positional embeddings")
 
         if cfg.use_pairwise:
             lambda_u = self.param("lambda_u", nn.initializers.zeros, ())
             u_bias = _CoOccurrenceBias(cfg.vocab_size, cfg.n_embd, cfg.n_head, dt,
                                        name="pairwise")(state.discrete[..., 0])
-            attn_bias = pair_mask_bias(state.mask) + lambda_u * u_bias
+            attn_bias = lambda_u * u_bias
+            if segments is None:
+                attn_bias = pair_mask_bias(state.mask) + attn_bias
+            key_mask = None
+        elif segments is not None:
+            attn_bias = None
             key_mask = None
         else:
             attn_bias = None
@@ -278,7 +297,7 @@ class FlavorFormer(nn.Module):
         for i in range(cfg.n_layer):
             f = _block_cls(cfg)(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_{i}")(f, attn_bias, deterministic, key_mask)
+                              name=f"block_{i}")(f, attn_bias, deterministic, key_mask, segments)
             f = f + time_emb
 
         f = LayerNorm(dtype=dt, name="ln2")(f + f_skip)
@@ -327,12 +346,19 @@ class KinFormer(nn.Module):
     config: Config
 
     @nn.compact
-    def __call__(self, state: MultiModal, deterministic: bool = True):
+    def __call__(self, state: MultiModal, deterministic: bool = True,
+                 segments: Optional[Array] = None):
         cfg = self.config
         dt = _dtype(cfg)
+        if segments is not None and cfg.use_pos_emb:
+            raise ValueError("packed rows (segments) are incompatible with "
+                             "learned positional embeddings")
 
         if cfg.use_pairwise:
-            attn_bias = pair_mask_bias(state.mask)
+            # segment masking subsumes the pad-pair mask; the Lund bias on
+            # cross-jet pairs is computed but masked out in attention
+            attn_bias = (jnp.zeros_like(pair_mask_bias(state.mask))
+                         if segments is not None else pair_mask_bias(state.mask))
             key_mask = None
             lambda_u = self.param("lambda_u", nn.initializers.zeros, ())
             meta = cfg.metadata or {}
@@ -350,6 +376,9 @@ class KinFormer(nn.Module):
                          name="wue_proj_out")(u)                       # (B,D,D,H)
             u = 0.5 * (u + u.transpose(0, 2, 1, 3))
             attn_bias = attn_bias + lambda_u * u.transpose(0, 3, 1, 2).astype(jnp.float32)
+        elif segments is not None:
+            attn_bias = None
+            key_mask = None
         else:
             attn_bias = None
             key_mask = key_mask_bias(state.mask)
@@ -372,7 +401,7 @@ class KinFormer(nn.Module):
         for i in range(cfg.n_layer):
             h = _block_cls(cfg)(cfg.n_embd, cfg.n_head, cfg.n_inner, cfg.dropout, cfg.bias,
                               cfg.qk_layernorm, dt, cfg.attn_impl,
-                              name=f"block_{i}")(h, attn_bias, deterministic, key_mask)
+                              name=f"block_{i}")(h, attn_bias, deterministic, key_mask, segments)
             h = h + time_emb
 
         h = LayerNorm(dtype=dt, name="ln2")(h + h_skip)

@@ -28,11 +28,38 @@ Array = jax.Array
 
 _IMPL_DEFAULT = "auto"
 
+#: trace-time opt-in for the unnormalized inference softmax.  The model
+#: layer marks *eligibility* (qk-LN, bias-free, deterministic); this flag
+#: marks *intent*: only the sampling/generation drivers enable it, so the
+#: validation loss that drives checkpoint ranking always runs the exact
+#: softmax (advisor r2: a silent clamp on the val path could distort model
+#: selection if trained qk-LN gains ever pushed scores past the clamp).
+_FAST_INFERENCE_SOFTMAX = False
+
 
 def set_default_impl(impl: str) -> None:
     global _IMPL_DEFAULT
     assert impl in ("auto", "xla", "pallas")
     _IMPL_DEFAULT = impl
+
+
+class fast_inference_softmax:
+    """Context manager enabling the unnormalized softmax on eligible
+    attention calls traced within it (sampling hot path only)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _FAST_INFERENCE_SOFTMAX
+        self._prev = _FAST_INFERENCE_SOFTMAX
+        _FAST_INFERENCE_SOFTMAX = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _FAST_INFERENCE_SOFTMAX
+        _FAST_INFERENCE_SOFTMAX = self._prev
+        return False
 
 
 def _xla_attention(q: Array, k: Array, v: Array, bias: Optional[Array],
@@ -95,12 +122,21 @@ def _xla_attention_btc(q: Array, k: Array, v: Array, n_head: int,
                        bias: Optional[Array], key_mask: Optional[Array],
                        dropout_rate: float = 0.0,
                        dropout_rng: Optional[Array] = None,
-                       unnormalized_softmax: bool = False) -> Array:
+                       unnormalized_softmax: bool = False,
+                       segments: Optional[Array] = None) -> Array:
     """Attention from token-major (B, T, C) tensors: the head split is a
     free reshape and XLA folds the (B,T,H,hs)->(B,H,T,hs) transposes into
     the dots, avoiding the materialized head-layout relayouts of the
     (B,H,T,Dh) path (those relayouts were ~half the flagship forward cost
-    on v5e, see PROFILE_r02.md)."""
+    on v5e, see PROFILE_r02.md).
+
+    `segments` (B, T) int enables block-diagonal set attention for packed
+    multi-jet rows: token i attends token j only when segments match.  The
+    (B,1,T,T) comparison is generated inline from the (B,T) ids so XLA
+    fuses it into the softmax instead of reading a materialized bias from
+    HBM.  Pad slots carry segment -1 (they attend only each other, and
+    their garbage stays isolated — outputs on pads are masked downstream).
+    """
     B, T, C = q.shape
     Tk = k.shape[1]  # may differ from T (KV-cached decode: T=1, Tk=seq)
     hs = C // n_head
@@ -114,12 +150,18 @@ def _xla_attention_btc(q: Array, k: Array, v: Array, n_head: int,
         scores = scores + key_mask[:, None, None, :].astype(scores.dtype)
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
-    if unnormalized_softmax:
+    if segments is not None:
+        same = segments[:, None, :, None] == segments[:, None, None, :]
+        scores = jnp.where(same, scores, jnp.float32(-1e9))
+    if unnormalized_softmax and _FAST_INFERENCE_SOFTMAX:
         # skip the max-subtract passes over the (B,H,T,T) score tensor —
-        # safe only when the caller guarantees bounded scores (qk-LN keeps
-        # |s| <~ gamma^2 sqrt(hs); the clamp is a backstop, exp(60) is
-        # finite in fp32 and -1e9 key masks still flush pads to exactly 0)
-        e = jnp.exp(jnp.minimum(scores, 60.0))
+        # exact (normalization cancels) whenever no exp overflows: the
+        # clamp at 80 keeps exp finite (e^80 ~ 5.5e34; a 150-key row sums
+        # to < 1e37 < fp32 max) and only distorts scores above 80, far
+        # past the qk-LN bound |s| <= gamma_q gamma_k sqrt(hs).  Enabled
+        # only inside `fast_inference_softmax()` (sampling drivers), so
+        # the val loss that ranks checkpoints never takes this path
+        e = jnp.exp(jnp.minimum(scores, 80.0))
         # +1e-30 guards the (degenerate, never-for-real-jets) all-masked
         # row: 0/eps -> zero attention instead of NaN
         probs = e / (e.sum(axis=-1, keepdims=True) + 1e-30)
@@ -145,6 +187,7 @@ def multihead_attention_btc(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[Array] = None,
     unnormalized_softmax: bool = False,
+    segments: Optional[Array] = None,
 ) -> Array:
     """Attention over token-major (B, T, C) q/k/v with heads packed in C.
 
@@ -152,6 +195,8 @@ def multihead_attention_btc(
     materializes head-transposed tensors.  On TPU, `impl='auto'` uses the
     fused Pallas kernel (scores live in VMEM, zero relayouts) for the
     bias-free inference path, else the reshaped-einsum XLA formulation.
+    `segments` (B, T) restricts attention to same-segment pairs
+    (block-diagonal packed multi-jet rows); XLA-path only.
     """
     impl = impl or _IMPL_DEFAULT
     want_dropout = dropout_rate > 0.0 and dropout_rng is not None
@@ -161,10 +206,11 @@ def multihead_attention_btc(
         # packing can't beat XLA's fusions while hs=32 underfills the MXU
         # either way).  The kernel stays available via impl='pallas'.
         impl = "xla"
-    if impl == "pallas" and bias is None and not want_dropout:
+    if impl == "pallas" and bias is None and not want_dropout and segments is None:
         from multimodal_flows_tpu.ops.pallas_attention import pallas_btc_attention
 
         return pallas_btc_attention(q, k, v, key_mask, n_head)
     return _xla_attention_btc(q, k, v, n_head, bias, key_mask,
                               dropout_rate, dropout_rng,
-                              unnormalized_softmax=unnormalized_softmax)
+                              unnormalized_softmax=unnormalized_softmax,
+                              segments=segments)

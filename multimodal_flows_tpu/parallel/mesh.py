@@ -46,6 +46,16 @@ def make_mesh_2d(n_model: int, devices: Optional[list] = None) -> Mesh:
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Number of devices on the `data` axis (the whole mesh for a 1-D mesh
+    without a named data axis).  Batch divisibility must be asserted
+    against this, not `mesh.devices.size` — on a (data, model) 2-D mesh
+    the batch shards over `data` only (trainer.py:265 fixed this for fit;
+    the generator asserts against the same quantity)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return sizes.get(DATA_AXIS, mesh.devices.size)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis_name))

@@ -27,6 +27,7 @@ import yaml
 
 from multimodal_flows_tpu.config import Config
 from multimodal_flows_tpu.data.state import MultiModal
+from multimodal_flows_tpu.ops.attention import fast_inference_softmax
 from multimodal_flows_tpu.utils.logger import SimpleLogger as log
 
 
@@ -53,8 +54,9 @@ def make_noise_source(key, pad_mask: np.ndarray, config: Config) -> MultiModal:
 
 
 def _snap_batch(n: int) -> int:
-    """Smallest batch on the {8, 16, 32, 64k} ladder that fits n rows —
-    bounds the number of distinct tail programs ever compiled."""
+    """Smallest batch on the {8, 16, 32, then multiples of 64} ladder that
+    fits n rows — bounds the number of distinct tail programs ever
+    compiled."""
     for b in (8, 16, 32):
         if n <= b:
             return b
@@ -115,11 +117,12 @@ def generate(
                                 temperature=temperature)
 
     if mesh is not None:
-        assert batch_size % mesh.devices.size == 0, (
-            f"batch_size {batch_size} must be divisible by the "
-            f"{mesh.devices.size}-device data mesh")
-        from multimodal_flows_tpu.parallel.mesh import replicated_sharding
+        from multimodal_flows_tpu.parallel.mesh import data_axis_size, replicated_sharding
 
+        n_data = data_axis_size(mesh)
+        assert batch_size % n_data == 0, (
+            f"batch_size {batch_size} must be divisible by the "
+            f"{n_data}-device data axis")
         params = jax.device_put(params, replicated_sharding(mesh))
 
     # tail shrinking: when the last partial batch would waste >=64 rows of
@@ -197,7 +200,8 @@ def generate(
         masks_dev = jnp.asarray(masks_stacked)
 
     t_start = time.perf_counter()
-    finals = run_all(params, key, masks_dev, jnp.asarray(temperature, jnp.float32))
+    with fast_inference_softmax():
+        finals = run_all(params, key, masks_dev, jnp.asarray(temperature, jnp.float32))
     sample = finals.map(lambda a: a.reshape(total, *a.shape[2:])[:num_jets])
     # force completion (block_until_ready is unreliable over the tunnel)
     float(jax.tree.leaves(sample)[0].ravel()[-1])
@@ -303,6 +307,299 @@ def generate_bucketed(
     )
 
 
+def pack_jets(mult: np.ndarray, width: int = 128):
+    """Best-fit-decreasing bin packing of jet multiplicities into rows of
+    `width` token slots.
+
+    Returns (row_of (N,), offset_of (N,), n_rows): jet i occupies slots
+    [offset_of[i], offset_of[i] + mult[i]) of row row_of[i].  Jets with
+    mult > width get row_of = -1 (unpackable; caller routes them through
+    the unpacked path).
+
+    Packing exists to lift the attention core onto the MXU sweet spot:
+    at T=48 the flagship forward sustains ~30 TF/s vs ~42-46 at T=128
+    (PROFILE_r02), i.e. ~21% lower per-token cost — so 2-4 low-multiplicity
+    jets share one 128-token attention row behind a block-diagonal segment
+    mask instead of each paying its own small-T row.  Replaces the
+    reference's pad-everything-to-150 layout (`utils/tensorclass.py`,
+    `networks/attention.py:68-69`).
+    """
+    mult = np.asarray(mult, np.int64)
+    N = mult.shape[0]
+    row_of = np.full(N, -1, np.int64)
+    offset_of = np.zeros(N, np.int64)
+    order = np.argsort(-mult, kind="stable")
+    # bins indexed by remaining capacity: bins_by_cap[c] = [row ids]
+    bins_by_cap = [[] for _ in range(width + 1)]
+    fill = []  # current fill level per row
+    for j in order:
+        m = int(mult[j])
+        if m > width or m == 0:
+            continue
+        for c in range(m, width + 1):
+            if bins_by_cap[c]:
+                b = bins_by_cap[c].pop()
+                break
+        else:
+            b = len(fill)
+            fill.append(0)
+            c = width
+        row_of[j] = b
+        offset_of[j] = fill[b]
+        fill[b] += m
+        bins_by_cap[c - m].append(b)
+    return row_of, offset_of, len(fill)
+
+
+def _build_packed_rows(pad_masks: np.ndarray, row_of, offset_of, n_rows: int,
+                       width: int):
+    """Masks (R, W, 1) and segment ids (R, W) for the packed layout.
+    Pad slots carry segment -1."""
+    mult = pad_masks[..., 0].sum(axis=1).astype(np.int64)
+    packed = np.where(row_of >= 0)[0]
+    seg = np.full((n_rows, width), -1, np.int32)
+    # per-row segment counter: order jets by (row, offset)
+    order = packed[np.lexsort((offset_of[packed], row_of[packed]))]
+    prev_row = -1
+    seg_id = 0
+    for j in order:
+        r, o, m = int(row_of[j]), int(offset_of[j]), int(mult[j])
+        seg_id = seg_id + 1 if r == prev_row else 0
+        prev_row = r
+        seg[r, o:o + m] = seg_id
+    mask = (seg >= 0).astype(np.int64)[..., None]
+    return mask, seg
+
+
+def _unpack_rows(rows: MultiModal, pad_masks: np.ndarray, row_of, offset_of,
+                 width: int) -> MultiModal:
+    """Scatter packed-row tokens back into the (N, D) padded layout."""
+    N, D = pad_masks.shape[0], pad_masks.shape[1]
+    mult = pad_masks[..., 0].sum(axis=1).astype(np.int64)
+    packed = np.where(row_of >= 0)[0]
+    m = mult[packed]
+    total = int(m.sum())
+    jet_of_tok = np.repeat(np.arange(len(packed)), m)
+    within = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+    src = (row_of[packed] * width + offset_of[packed])[jet_of_tok] + within
+    dst_row = packed[jet_of_tok]
+
+    def scatter(flat_rows, fill_dtype):
+        out = np.zeros((N, D) + flat_rows.shape[2:], fill_dtype)
+        flat = flat_rows.reshape(-1, *flat_rows.shape[2:])
+        out[dst_row, within] = flat[src]
+        return out
+
+    x = None
+    if rows.continuous is not None:
+        x = scatter(np.asarray(rows.continuous), np.float32)
+    k = None
+    if rows.discrete is not None:
+        k = scatter(np.asarray(rows.discrete), np.int32)
+    return MultiModal(continuous=x, discrete=k,
+                      mask=pad_masks.astype(np.int32))
+
+
+#: encoders whose attention path supports block-diagonal segment masking
+#: (EPiC pools globally over the row, so packing would mix jets)
+_PACKABLE_MODELS = ("ParticleFormer", "FusedParticleFormer", "KinFormer",
+                    "FlavorFormer")
+
+
+def generate_packed(
+    system,
+    params,
+    pad_masks: np.ndarray,
+    *,
+    num_timesteps: int,
+    pack_width: int = 128,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    use_final_max_rates: bool = False,
+    batch_size: int = 256,
+    seed: int = 0,
+    mesh=None,
+    metadata: Optional[Dict] = None,
+    max_dispatch_steps: int = 8_000,
+) -> GenerationResult:
+    """Generation with multi-jet packing: several jets share one
+    `pack_width`-token attention row behind a block-diagonal segment mask.
+
+    Exactly the per-jet model: attention is restricted to same-segment
+    pairs (`ops/attention.py`), all dense/MLP/solver work is per-token, and
+    on the sampling grid every jet shares the same t, so the packed forward
+    equals the unpacked one to float tolerance (tests/test_packing.py).
+    Jets wider than `pack_width` fall back to the bucketed path.
+    """
+    cfg = system.config
+    num_jets = pad_masks.shape[0]
+    D = pad_masks.shape[1]
+    mult = pad_masks[..., 0].sum(axis=1)
+    first_n = (pad_masks[..., 0].cumsum(axis=1) ==
+               np.minimum(np.arange(1, D + 1)[None, :], mult[:, None])).all()
+    if (cfg.model not in _PACKABLE_MODELS or getattr(cfg, "use_pos_emb", False)
+            or not first_n):
+        return generate_bucketed(
+            system, params, pad_masks, num_timesteps=num_timesteps,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            use_final_max_rates=use_final_max_rates, batch_size=batch_size,
+            seed=seed, mesh=mesh, metadata=metadata,
+            max_dispatch_steps=max_dispatch_steps)
+
+    t_start = time.perf_counter()
+    row_of, offset_of, n_rows = pack_jets(mult, pack_width)
+
+    # packed rows are ~pack_width/48 heavier than the bucketed batches the
+    # dispatch cap was calibrated on — scale it down so single device
+    # programs stay in the tunnel-safe ~30-90 s range
+    row_cap = max(1_000, max_dispatch_steps * 48 // pack_width)
+
+    sample_rows = None
+    if n_rows > 0:
+        row_mask, row_seg = _build_packed_rows(pad_masks, row_of, offset_of,
+                                               n_rows, pack_width)
+        sample_rows = _run_packed_rows(
+            system, params, row_mask, row_seg,
+            num_timesteps=num_timesteps, temperature=temperature,
+            top_k=top_k, top_p=top_p, use_final_max_rates=use_final_max_rates,
+            batch_size=batch_size, seed=seed, mesh=mesh,
+            max_dispatch_steps=row_cap)
+
+    if sample_rows is not None:
+        sample = _unpack_rows(sample_rows, pad_masks, row_of, offset_of, pack_width)
+    else:
+        sample = MultiModal(
+            continuous=np.zeros((num_jets, D, cfg.dim_continuous), np.float32),
+            discrete=np.zeros((num_jets, D, 1), np.int32),
+            mask=pad_masks.astype(np.int32))
+
+    # unpackable tail (mult > pack_width): bucketed path, then overwrite
+    left = np.where(row_of < 0)[0]
+    if len(left):
+        res_l = generate_bucketed(
+            system, params, pad_masks[left], num_timesteps=num_timesteps,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            use_final_max_rates=use_final_max_rates, batch_size=batch_size,
+            seed=seed + 15485863, mesh=mesh, metadata=None,
+            max_dispatch_steps=max_dispatch_steps)
+        x = np.asarray(sample.continuous)
+        k = np.asarray(sample.discrete)
+        x[left] = np.asarray(res_l.sample.continuous)
+        k[left] = np.asarray(res_l.sample.discrete)
+        sample = MultiModal(continuous=x, discrete=k, mask=sample.mask)
+
+    wall = time.perf_counter() - t_start
+
+    # host-side finalize: destandardize + mask (reference `callbacks.py:52-58`)
+    x = sample.continuous
+    if metadata and x is not None:
+        mean = np.asarray(metadata["mean"], np.float32)
+        std = np.asarray(metadata["std"], np.float32)
+        x = x * std + mean
+    m = np.asarray(sample.mask)
+    sample = MultiModal(
+        continuous=None if x is None else (x * m).astype(np.float32),
+        discrete=(np.asarray(sample.discrete) * m).astype(np.int32),
+        mask=m.astype(np.int32))
+
+    return GenerationResult(sample=sample, jets_per_sec=num_jets / wall,
+                            wall_time_s=wall, num_timesteps=num_timesteps,
+                            temperature=temperature)
+
+
+def _run_packed_rows(system, params, row_masks: np.ndarray, row_segs: np.ndarray,
+                     *, num_timesteps: int, temperature: float, top_k, top_p,
+                     use_final_max_rates: bool, batch_size: int, seed: int,
+                     mesh, max_dispatch_steps: int) -> MultiModal:
+    """Run packed rows through the compiled scan-of-scans sampler (the
+    packed twin of `generate`'s core): noise per row on device, segments as
+    a scanned input, chunked into tunnel-safe dispatches."""
+    cfg = system.config
+    n_rows, W = row_masks.shape[0], row_masks.shape[1]
+    key = jax.random.PRNGKey(seed)
+
+    if mesh is not None:
+        from multimodal_flows_tpu.parallel.mesh import data_axis_size, replicated_sharding
+
+        n_data = data_axis_size(mesh)
+        assert batch_size % n_data == 0, (
+            f"batch_size {batch_size} must be divisible by the "
+            f"{n_data}-device data axis")
+        params = jax.device_put(params, replicated_sharding(mesh))
+
+    if mesh is None and n_rows < batch_size:
+        batch_size = min(_snap_batch(n_rows), batch_size)
+
+    n_batches = (n_rows + batch_size - 1) // batch_size
+    total = n_batches * batch_size
+    if total > n_rows:  # pad with empty rows (mask 0, segment -1)
+        pad_m = np.zeros((total - n_rows,) + row_masks.shape[1:], row_masks.dtype)
+        pad_s = np.full((total - n_rows, W), -1, row_segs.dtype)
+        row_masks = np.concatenate([row_masks, pad_m], axis=0)
+        row_segs = np.concatenate([row_segs, pad_s], axis=0)
+
+    batches_cap = max(1, max_dispatch_steps // max(num_timesteps, 1))
+    if n_batches > batches_cap:
+        pieces = []
+        for i, lo in enumerate(range(0, total, batches_cap * batch_size)):
+            hi = min(lo + batches_cap * batch_size, total)
+            pieces.append(_run_packed_rows(
+                system, params, row_masks[lo:hi], row_segs[lo:hi],
+                num_timesteps=num_timesteps, temperature=temperature,
+                top_k=top_k, top_p=top_p,
+                use_final_max_rates=use_final_max_rates,
+                batch_size=batch_size, seed=seed + 7919 * (i + 1), mesh=mesh,
+                max_dispatch_steps=max_dispatch_steps))
+        return MultiModal.concat([p.map(np.asarray) for p in pieces])[:n_rows]
+
+    masks_stacked = row_masks.reshape(n_batches, batch_size, *row_masks.shape[1:])
+    segs_stacked = row_segs.reshape(n_batches, batch_size, W)
+
+    cache = getattr(system, "_packed_sim_cache", None)
+    if cache is None:
+        cache = system._packed_sim_cache = {}
+    sig = (num_timesteps, top_k, top_p, use_final_max_rates, batch_size,
+           n_batches, W)
+
+    if sig not in cache:
+
+        def run_all(p, key, masks_dev, segs_dev, temp):
+            def body(k, xs):
+                mask_b, seg_b = xs
+                k, k_noise, k_sim = jax.random.split(k, 3)
+                src = make_noise_source(k_noise, mask_b, cfg)
+                final = system.simulate(
+                    p, k_sim, src, num_timesteps, temperature=temp,
+                    top_k=top_k, top_p=top_p,
+                    use_final_max_rates=use_final_max_rates,
+                    segments=seg_b)
+                return k, final
+            _, finals = jax.lax.scan(body, key, (masks_dev, segs_dev))
+            return finals
+
+        cache[sig] = jax.jit(run_all)
+    run_all = cache[sig]
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(None, "data"))
+        masks_dev = jax.device_put(masks_stacked, sh)
+        segs_dev = jax.device_put(segs_stacked, sh)
+    else:
+        masks_dev = jnp.asarray(masks_stacked)
+        segs_dev = jnp.asarray(segs_stacked)
+
+    with fast_inference_softmax():
+        finals = run_all(params, key, masks_dev, segs_dev,
+                         jnp.asarray(temperature, jnp.float32))
+    rows = finals.map(lambda a: a.reshape(total, *a.shape[2:])[:n_rows])
+    # force completion (block_until_ready is unreliable over the tunnel)
+    float(jax.tree.leaves(rows)[0].ravel()[-1])
+    return rows.astype_numpy()
+
+
 def gather_multihost(sample: MultiModal) -> MultiModal:
     """All-gather generated samples across hosts (replaces the reference's
     per-rank temp-file + barrier + concat, `callbacks.py:27-62`)."""
@@ -310,7 +607,11 @@ def gather_multihost(sample: MultiModal) -> MultiModal:
         return sample
     from jax.experimental import multihost_utils
 
-    return sample.map(multihost_utils.process_allgather)
+    # tiled=True concatenates the per-process samples along the jet axis;
+    # the default (tiled=False) would stack a new leading process axis —
+    # caught by tests/test_multiprocess.py the first time this branch ever
+    # executed with process_count > 1
+    return sample.map(lambda a: multihost_utils.process_allgather(a, tiled=True))
 
 
 def save_generation(result: GenerationResult, config: Config, res_dir: str) -> str:
@@ -344,7 +645,7 @@ def run_generation_sweep(
             for steps in timestep_grid:
                 suffix = f"_{i}" if i > 0 else ""
                 tag = f"{config.tags or ''}{suffix}_steps_{steps}_temp_{temp}"
-                res = generate_bucketed(
+                res = generate_packed(
                     system, params, test_masks,
                     num_timesteps=steps, temperature=temp,
                     top_k=config.top_k, top_p=config.top_p,

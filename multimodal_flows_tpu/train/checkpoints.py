@@ -89,26 +89,29 @@ class CheckpointManager:
             if not math.isfinite(value):
                 continue
             ranked = self.index["topk"].setdefault(slot, [])
+            # resume from a non-`last` slot re-runs epochs whose names are
+            # already ranked: replace the stale entry instead of appending
+            # a duplicate (two entries sharing one directory would make
+            # eviction of one delete the other's storage)
+            name = f"{slot}-ep{epoch}"
+            ranked[:] = [e for e in ranked if e["name"] != name]
             in_topk = len(ranked) < self.top_k or value < ranked[-1]["value"]
             if not in_topk:
                 continue
-            entry = {"value": value, "epoch": epoch, "name": f"{slot}-ep{epoch}"}
+            entry = {"value": value, "epoch": epoch, "name": name}
             self._save_to(entry["name"], state)
             ranked.append(entry)
             ranked.sort(key=lambda e: e["value"])
-            for evicted in ranked[self.top_k:]:
-                path = os.path.join(self.dir, evicted["name"])
-                if os.path.exists(path):
-                    shutil.rmtree(path)
+            evicted = ranked[self.top_k:]
             del ranked[self.top_k:]
             written[slot + "_topk"] = True
+            link = os.path.join(self.dir, slot)
             if ranked[0]["name"] == entry["name"]:  # new overall best
                 # the plain slot (`best`, `best_mse`, ...) is a symlink to
                 # the #1 ranked dir — avoids a second full serialization of
-                # the same pytree every improving epoch.  Safe against
-                # eviction: the #1 entry can only leave the ranking in a
-                # save() that installs a new #1, which re-points the link.
-                link = os.path.join(self.dir, slot)
+                # the same pytree every improving epoch.  Re-pointed BEFORE
+                # eviction rmtrees below, so a crash in between never
+                # leaves the slot dangling at a deleted directory.
                 if os.path.islink(link):
                     os.unlink(link)
                 elif os.path.isdir(link):  # legacy full-copy slot
@@ -116,6 +119,15 @@ class CheckpointManager:
                 os.symlink(entry["name"], link)
                 self.index["best_values"][slot] = {"value": value, "epoch": epoch}
                 written[slot] = True
+            # evict after the link is current; never delete the directory
+            # the slot link still points at
+            link_target = os.readlink(link) if os.path.islink(link) else None
+            for ev in evicted:
+                if ev["name"] == link_target:
+                    continue
+                path = os.path.join(self.dir, ev["name"])
+                if os.path.exists(path):
+                    shutil.rmtree(path)
 
         self.index["history"].append(
             {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}})

@@ -53,7 +53,10 @@ class MMFModel(nn.Module):
         self.encoder = build_model(self.config)
         self.multitask = MultiTaskLoss(self.config.multitask_loss, self.config.n_embd)
 
-    def __call__(self, state: MultiModal, deterministic: bool = True):
+    def __call__(self, state: MultiModal, deterministic: bool = True,
+                 segments=None):
+        if segments is not None:
+            return self.encoder(state, deterministic, segments)
         return self.encoder(state, deterministic)
 
     def training_loss(self, state: MultiModal, drift_target: Array, target_tokens: Array,
@@ -130,10 +133,16 @@ class MMF:
     # ------------------------------------------------------------- sampling
 
     def make_solver(self, params, temperature: Optional[float] = None,
-                    top_k=None, top_p=None) -> HybridSolver:
+                    top_k=None, top_p=None, segments=None) -> HybridSolver:
         cfg = self.config
+        if segments is None:
+            apply_fn = lambda s: self.module.apply(params, s)
+        else:
+            # packed multi-jet rows: block-diagonal attention via segment
+            # ids (static through the whole trajectory scan)
+            apply_fn = lambda s: self.module.apply(params, s, segments=segments)
         return HybridSolver(
-            lambda s: self.module.apply(params, s),
+            apply_fn,
             self.bridge_discrete,
             cfg.vocab_size,
             temperature=cfg.temperature if temperature is None else temperature,
@@ -145,8 +154,9 @@ class MMF:
 
     def simulate(self, params, key: Array, source: MultiModal, num_timesteps: int,
                  temperature: float = 1.0, top_k=None, top_p=None,
-                 use_final_max_rates: bool = False, return_trajectory: bool = False):
-        solver = self.make_solver(params, temperature, top_k, top_p)
+                 use_final_max_rates: bool = False, return_trajectory: bool = False,
+                 segments=None):
+        solver = self.make_solver(params, temperature, top_k, top_p, segments)
         return simulate(key, solver, source, num_timesteps, self.config.time_eps,
                         return_trajectory=return_trajectory,
                         use_final_max_rates=use_final_max_rates)
@@ -200,12 +210,17 @@ class CFM:
         return loss, {"loss": loss, "loss_mse": loss}
 
     def simulate(self, params, key: Array, source: MultiModal, num_timesteps: int,
-                 method: str = "euler", return_trajectory: bool = False, **_ignored):
+                 method: str = "euler", return_trajectory: bool = False,
+                 segments=None, **_ignored):
         """Euler / Euler-Maruyama integration.  Extra hybrid-only kwargs
         (temperature, top_k, ...) are accepted and ignored so the generic
         generation driver can run any system."""
+        if segments is None:
+            apply_fn = lambda s: self.module.apply(params, s)
+        else:
+            apply_fn = lambda s: self.module.apply(params, s, segments=segments)
         solver = ContinuousSolver(
-            lambda s: self.module.apply(params, s),
+            apply_fn,
             diffusion_fn=lambda s: self.bridge_continuous.diffusion(s.continuous),
             method=method,
         )
@@ -265,9 +280,13 @@ class MJB:
 
     def simulate(self, params, key: Array, source: MultiModal, num_timesteps: int,
                  temperature: float = 1.0, top_k=None, top_p=None,
-                 return_trajectory: bool = False, **_ignored):
+                 return_trajectory: bool = False, segments=None, **_ignored):
+        if segments is None:
+            apply_fn = lambda s: self.module.apply(params, s)
+        else:
+            apply_fn = lambda s: self.module.apply(params, s, segments=segments)
         solver = DiscreteSolver(
-            lambda s: self.module.apply(params, s),
+            apply_fn,
             self.bridge_discrete,
             self.config.vocab_size,
             temperature=temperature,

@@ -87,8 +87,18 @@ class Trainer:
         self.tx = self.make_optimizer(steps_per_epoch)
         opt_state = self.tx.init(params)
         ema = jax.tree.map(jnp.copy, params) if self.config.use_ema_weights else None
-        return TrainState(params=params, opt_state=opt_state, ema_params=ema,
-                          step=jnp.zeros((), jnp.int32))
+        state = TrainState(params=params, opt_state=opt_state, ema_params=ema,
+                           step=jnp.zeros((), jnp.int32))
+        if (self.mesh is not None and not self.config.fsdp
+                and self.config.tensor_parallel <= 1):
+            # freshly-minted scalars (Adam's `count`, `step`) are committed
+            # to device 0; replicate the whole train state over the mesh so
+            # the jitted epoch sees one consistent device set (caught by
+            # the round-3 verify drive: every earlier fit test ran mesh=None)
+            from multimodal_flows_tpu.parallel.mesh import replicated_sharding
+
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        return state
 
     # --------------------------------------------------------------- steps
 
@@ -229,16 +239,12 @@ class Trainer:
         return [(w, ArrayDataset(self._truncate_width(ds.coupling[sel], w)), sel)
                 for w, sel in merged]
 
-    def _stack_epoch(self, ds: ArrayDataset, batch_size: int, *, shuffle: bool,
-                     seed: int = 0, epoch: int = 0, pad_last: bool = False):
-        """Host-side: gather an epoch's batches into one (n_batches, B, ...)
-        pytree and ship it to the device(s) in a single transfer."""
-        batches = list(shuffle_batches(ds, batch_size, shuffle=shuffle, seed=seed,
-                                       epoch=epoch, drop_last=not pad_last,
-                                       pad_last=pad_last))
+    def _ship_stack(self, batches):
+        """Stack a list of host batches along a new scan axis and ship to
+        the device(s) in one transfer."""
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
         if self.mesh is None:
-            return jax.tree.map(jnp.asarray, stacked), len(batches)
+            return jax.tree.map(jnp.asarray, stacked)
         # shard the per-step batch axis (axis 1); the scan axis stays unsharded
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -252,7 +258,50 @@ class Trainer:
 
             put = lambda a: jax.make_array_from_process_local_data(
                 sharding, local_batch_shard(np.asarray(a), axis=1))
-        return jax.tree.map(put, stacked), len(batches)
+        return jax.tree.map(put, stacked)
+
+    def _stack_epoch(self, ds: ArrayDataset, batch_size: int, *, shuffle: bool,
+                     seed: int = 0, epoch: int = 0, pad_last: bool = False):
+        """Host-side: gather an epoch's batches into one (n_batches, B, ...)
+        pytree and ship it to the device(s) in a single transfer."""
+        batches = list(shuffle_batches(ds, batch_size, shuffle=shuffle, seed=seed,
+                                       epoch=epoch, drop_last=not pad_last,
+                                       pad_last=pad_last))
+        return self._ship_stack(batches), len(batches)
+
+    def _chunk_len(self, ds: ArrayDataset, batch_size: int) -> int:
+        """Batches per device-resident super-chunk under the HBM budget.
+
+        The whole-epoch stack was the round-2 design; at the reference's
+        1.25M-jet scale (`scripts/train_mmf.py:30`) that stack alone is
+        ~5-6 GB and the resident val stacks compound it, so epochs larger
+        than `epoch_hbm_budget_mb` stream in chunks instead.  Half the
+        budget per chunk: the next chunk's host->device transfer overlaps
+        the current chunk's compute (async dispatch double-buffers it)."""
+        per_jet = sum(a.nbytes for a in jax.tree.leaves(ds.coupling)) / max(len(ds), 1)
+        per_batch = max(per_jet * batch_size, 1.0)
+        budget = self.config.epoch_hbm_budget_mb * (1 << 20)
+        return max(1, int(budget / 2 / per_batch))
+
+    def _epoch_chunks(self, ds: ArrayDataset, batch_size: int, *, shuffle: bool,
+                      seed: int = 0, epoch: int = 0, pad_last: bool = False):
+        """Yield (device_stack, n_batches) super-chunks of one epoch.
+
+        Chunking only splits the epoch `lax.scan`; the train step folds
+        its RNG from `state.step`, so the parameter trajectory is
+        bit-identical to the resident path (tests/test_training.py)."""
+        batches = list(shuffle_batches(ds, batch_size, shuffle=shuffle, seed=seed,
+                                       epoch=epoch, drop_last=not pad_last,
+                                       pad_last=pad_last))
+        chunk = self._chunk_len(ds, batch_size)
+        if len(batches) <= chunk:
+            yield self._ship_stack(batches), len(batches)
+            return
+        # equal-size chunks (+ one tail size) so jit compiles at most two
+        # scan lengths, reused every epoch
+        for lo in range(0, len(batches), chunk):
+            part = batches[lo:lo + chunk]
+            yield self._ship_stack(part), len(part)
 
     # ----------------------------------------------------------------- fit
 
@@ -307,14 +356,18 @@ class Trainer:
                 log.warn("bucketed_training disabled: masks are not first-n filled")
                 train_buckets = val_buckets = None
 
-        # the val stack(s) are deterministic — build and ship once
+        # the val stack(s) are deterministic — build and ship once when they
+        # fit the HBM budget, else stream per epoch
         def build_val(ds):
-            stack, n_batches = self._stack_epoch(ds, cfg.batch_size, shuffle=False,
-                                                 pad_last=True)
             n = len(ds)
+            n_batches = num_batches(n, cfg.batch_size, drop_last=False)
             weights = [min(cfg.batch_size, n - i * cfg.batch_size)
                        for i in range(n_batches)]
-            return stack, weights
+            if n_batches <= self._chunk_len(ds, cfg.batch_size):
+                stack, _ = self._stack_epoch(ds, cfg.batch_size, shuffle=False,
+                                             pad_last=True)
+                return ("resident", stack, weights)
+            return ("stream", ds, weights)
 
         if val_buckets is None:
             val_sets = [build_val(val_ds)]
@@ -326,11 +379,15 @@ class Trainer:
             # ---- train: one compiled scan per epoch (per bucket)
             k_epoch = jax.random.fold_in(k_train, epoch)
             if train_buckets is None:
-                epoch_stack, n_b = self._stack_epoch(
-                    train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, epoch=epoch)
-                state, metrics_seq = train_epoch_fn(state, epoch_stack, k_epoch)
-                train_metrics = _mean_stacked(metrics_seq, prefix="train_")
-                global_step += n_b
+                accum, weights = [], []
+                for stack, n_b in self._epoch_chunks(
+                        train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                        epoch=epoch):
+                    state, metrics_seq = train_epoch_fn(state, stack, k_epoch)
+                    accum.append(metrics_seq)
+                    weights.append(n_b)
+                    global_step += n_b
+                train_metrics = _combine_stacked(accum, weights, prefix="train_")
             else:
                 accum, weights = [], []
                 # random bucket order per epoch (avoids a fixed curriculum)
@@ -343,21 +400,34 @@ class Trainer:
                         log.warn(f"bucket width {w}: {len(b_ds)} jets < "
                                  f"batch_size {cfg.batch_size}; skipped")
                         continue
-                    stack, n_b = self._stack_epoch(
-                        b_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, epoch=epoch)
-                    state, metrics_seq = train_epoch_fn(
-                        state, stack, jax.random.fold_in(k_epoch, int(bi)))
-                    accum.append(metrics_seq)
-                    weights.append(n_b)
-                    global_step += n_b
+                    k_bucket = jax.random.fold_in(k_epoch, int(bi))
+                    for stack, n_b in self._epoch_chunks(
+                            b_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                            epoch=epoch):
+                        state, metrics_seq = train_epoch_fn(state, stack, k_bucket)
+                        accum.append(metrics_seq)
+                        weights.append(n_b)
+                        global_step += n_b
                 train_metrics = _combine_stacked(accum, weights, prefix="train_")
 
             # ---- validate with EMA params when enabled (tail batch padded;
             # means weighted by real jet count)
             k_val = jax.random.fold_in(k_train, 1_000_000_000 + epoch)
             v_accum, v_weights = [], []
-            for stack, weights in val_sets:
-                v_accum.append(eval_epoch_fn(state, stack, k_val))
+            for kind, payload, weights in val_sets:
+                if kind == "resident":
+                    v_accum.append(eval_epoch_fn(state, payload, k_val))
+                else:
+                    # stream oversized val sets chunk by chunk, concatenating
+                    # the per-batch metric stacks
+                    parts = []
+                    for ci, (stack, _) in enumerate(self._epoch_chunks(
+                            payload, cfg.batch_size, shuffle=False, pad_last=True)):
+                        m = eval_epoch_fn(state, stack,
+                                          jax.random.fold_in(k_val, ci))
+                        parts.append(jax.tree.map(np.asarray, m))
+                    v_accum.append({k: np.concatenate([p[k] for p in parts])
+                                    for k in parts[0]})
                 v_weights.append(weights)
             if len(v_accum) == 1:
                 val_metrics = _mean_stacked(v_accum[0], prefix="val_",

@@ -93,6 +93,9 @@ def experiment_configs(argv=None) -> Config:
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="model-axis size of a (data, model) mesh with "
                         "Megatron-style kernel sharding")
+    p.add_argument("--epoch_hbm_budget_mb", type=int, default=4096,
+                   help="device-resident epoch stack cap; larger epochs "
+                        "stream in double-buffered super-chunks")
 
     args = p.parse_args(argv)
     ns = vars(args)

@@ -102,11 +102,12 @@ def test_loader_end_to_end(aoj_file):
     np.testing.assert_allclose(x.std(0, ddof=1), 1.0, atol=1e-3)
     # metadata round-trip fields
     assert set(metadata) >= {"mean", "std", "min", "max", "num_jets_sample"}
-    # pT ordering within jets (destandardized)
-    pt = x if False else jets.continuous[..., 0] * metadata["std"][0] + metadata["mean"][0]
-    pt = np.where(m, pt, -np.inf)
-    real_sorted = np.all(np.diff(pt, axis=1) <= 1e-4, where=~np.isinf(pt[:, 1:]), axis=None)
-    assert real_sorted
+    # pT ordering within jets (destandardized); diff only over adjacent
+    # real pairs — an -inf pad sentinel would emit inf-inf NaN warnings
+    pt = jets.continuous[..., 0] * metadata["std"][0] + metadata["mean"][0]
+    d = np.diff(np.where(m, pt, 0.0), axis=1)
+    both_real = m[:, 1:] & m[:, :-1]
+    assert np.all(d[both_real] <= 1e-4)
 
 
 def test_loader_relative_coordinates(aoj_file):

@@ -293,3 +293,40 @@ def test_checkpoint_nan_metric_never_enters_ranking(tmp_path):
     tpl = {"w": np.zeros(2)}
     assert mgr.load(tpl, "best")["w"][0] == 5.0
     assert mgr.index["best_values"]["best"]["value"] == 0.1
+
+
+def test_checkpoint_resume_duplicate_epochs_and_link_safety(tmp_path):
+    """Advisor r2: resuming from a non-`last` slot re-runs epochs whose
+    ranked names already exist.  The manager must replace (not append) the
+    duplicate entry, and with top_k=1 the `best` symlink must never dangle
+    — eviction skips the directory the link points at and the link is
+    re-pointed before any rmtree."""
+    import os
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitors={"best": "val_loss"},
+                            top_k=1)
+
+    def st(v):
+        return {"w": np.full(2, float(v))}
+
+    mgr.save(st(1), {"val_loss": 5.0}, epoch=1)
+    mgr.save(st(2), {"val_loss": 3.0}, epoch=2)
+    # resume re-runs epoch 2 with a slightly different value
+    mgr.save(st(22), {"val_loss": 2.9}, epoch=2)
+
+    ranked = mgr.index["topk"]["best"]
+    names = [e["name"] for e in ranked]
+    assert len(names) == len(set(names)) == 1  # replaced, not duplicated
+    assert ranked[0]["value"] == 2.9
+
+    link = os.path.join(mgr.dir, "best")
+    assert os.path.islink(link)
+    target = os.path.join(mgr.dir, os.readlink(link))
+    assert os.path.isdir(target)  # never dangling
+    tpl = {"w": np.zeros(2)}
+    assert mgr.load(tpl, "best")["w"][0] == 22.0
+
+    # a later non-improving epoch must not disturb the link
+    mgr.save(st(3), {"val_loss": 9.0}, epoch=3)
+    assert os.path.isdir(os.path.join(mgr.dir, os.readlink(link)))
+    assert mgr.load(tpl, "best")["w"][0] == 22.0

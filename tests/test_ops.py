@@ -126,7 +126,10 @@ def test_unnormalized_softmax_matches_safe_softmax():
     """The max-subtract-free softmax (enabled when qk-LN bounds the scores)
     must match the safe softmax exactly on bounded inputs, including -1e9
     key masking and gradients."""
-    from multimodal_flows_tpu.ops.attention import _xla_attention_btc
+    from multimodal_flows_tpu.ops.attention import (
+        _xla_attention_btc,
+        fast_inference_softmax,
+    )
 
     B, T, C, H = 6, 10, 32, 4
     q, k, v = _btc_qkv(B, T, C)
@@ -134,13 +137,18 @@ def test_unnormalized_softmax_matches_safe_softmax():
     km = jnp.where(mask[..., 0] > 0, 0.0, -1e9).astype(jnp.float32)
 
     ref = _xla_attention_btc(q, k, v, H, None, km)
-    out = _xla_attention_btc(q, k, v, H, None, km, unnormalized_softmax=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    with fast_inference_softmax():
+        out = _xla_attention_btc(q, k, v, H, None, km, unnormalized_softmax=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
-    g_ref = jax.grad(lambda a: (_xla_attention_btc(a, k, v, H, None, km) ** 2).sum())(q)
-    g_out = jax.grad(lambda a: (_xla_attention_btc(
-        a, k, v, H, None, km, unnormalized_softmax=True) ** 2).sum())(q)
-    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-5)
+        g_ref = jax.grad(lambda a: (_xla_attention_btc(a, k, v, H, None, km) ** 2).sum())(q)
+        g_out = jax.grad(lambda a: (_xla_attention_btc(
+            a, k, v, H, None, km, unnormalized_softmax=True) ** 2).sum())(q)
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-5)
+
+    # without the trace-time opt-in, the flag is inert (val-loss safety)
+    out_gated = _xla_attention_btc(q, k, v, H, None, km, unnormalized_softmax=True)
+    np.testing.assert_allclose(np.asarray(out_gated), np.asarray(ref), atol=1e-6)
 
     # full rows of pad keys on pad queries stay finite
     assert np.isfinite(np.asarray(out)).all()
