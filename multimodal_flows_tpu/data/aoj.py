@@ -121,7 +121,12 @@ class AspenOpenJets:
         except (OSError, KeyError) as e:
             raise ValueError(f"error reading file {filepath}: {e}")
 
-        pf = np.asarray(pf, dtype=np.float64)
+        # float32 end-to-end: the PFCands payload (px,py,pz,E <= ~1 TeV,
+        # PDG ids <= 211) is exactly representable, statistics accumulate
+        # in float64 (extract_metadata), and the host featurization halves
+        # its memory traffic — this box is a 1-vCPU microVM where a 300k-jet
+        # float64 load measured ~2x slower end to end
+        pf = np.asarray(pf, dtype=np.float32)
         feats, mask, pf_sorted = self._compute_continuous_coordinates(pf)
         # tokens from the SAME filtered+sorted candidates as the kinematics.
         # (The reference computes tokens from the unsorted PFCands,
@@ -285,14 +290,18 @@ def extract_metadata(continuous: Optional[np.ndarray], mask: np.ndarray) -> Dict
     }
     if continuous is not None:
         x = continuous[mask_bool]
-        metadata["mean"] = x.mean(0).tolist()
-        metadata["std"] = x.std(0, ddof=1).tolist()
+        # float64 accumulators over float32 arrays: exact enough statistics
+        # without a float64 copy of the whole dataset
+        mean = x.mean(0, dtype=np.float64)
+        std = x.std(0, ddof=1, dtype=np.float64)
+        metadata["mean"] = mean.tolist()
+        metadata["std"] = std.tolist()
         metadata["min"] = x.min(0).tolist()
         metadata["max"] = x.max(0).tolist()
         with np.errstate(divide="ignore"):
             logpt = np.log(x[:, 0])
-        metadata["log_pt_mean"] = [float(logpt.mean())] + x.mean(0)[1:].tolist()
-        metadata["log_pt_std"] = [float(logpt.std(ddof=1))] + x.std(0, ddof=1)[1:].tolist()
+        metadata["log_pt_mean"] = [float(logpt.mean(dtype=np.float64))] + mean[1:].tolist()
+        metadata["log_pt_std"] = [float(logpt.std(ddof=1, dtype=np.float64))] + std[1:].tolist()
     return metadata
 
 

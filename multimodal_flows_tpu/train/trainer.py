@@ -168,6 +168,77 @@ class Trainer:
             self._compiled["eval_epoch"] = jax.jit(self._eval_epoch)
         return self._compiled["eval_epoch"]
 
+    # ------------------------------------------ device-resident gather path
+
+    def _train_epoch_gather(self, state: TrainState, data, idx, key):
+        """One epoch over a device-RESIDENT dataset: per-step batches are
+        gathered on device from host-computed permutation indices.
+
+        The host ships the dataset to HBM once and then only (n_b, B) int32
+        indices per epoch (~1 MB), instead of restacking ~hundreds of MB of
+        batches every epoch — on a 1-vCPU host that restack dominates the
+        epoch.  Batch composition is identical to `shuffle_batches`
+        (same permutation stream), so the parameter trajectory matches the
+        stacked path bit for bit."""
+
+        def body(state, batch_idx):
+            batch = jax.tree.map(lambda a: a[batch_idx], data)
+            k = jax.random.fold_in(key, state.step)
+            return self._train_step(state, batch, k)
+
+        return jax.lax.scan(body, state, idx)
+
+    def _eval_epoch_gather(self, state: TrainState, data, idx, key):
+        def body(i, batch_idx):
+            batch = jax.tree.map(lambda a: a[batch_idx], data)
+            k = jax.random.fold_in(key, i)
+            return i + 1, self._eval_step(state, batch, k)
+
+        _, metrics = jax.lax.scan(body, jnp.int32(0), idx)
+        return metrics
+
+    def compiled_train_epoch_gather(self):
+        if "train_epoch_gather" not in self._compiled:
+            self._compiled["train_epoch_gather"] = jax.jit(
+                self._train_epoch_gather, donate_argnums=0)
+        return self._compiled["train_epoch_gather"]
+
+    def compiled_eval_epoch_gather(self):
+        if "eval_epoch_gather" not in self._compiled:
+            self._compiled["eval_epoch_gather"] = jax.jit(self._eval_epoch_gather)
+        return self._compiled["eval_epoch_gather"]
+
+    def _use_resident_gather(self, ds: ArrayDataset, batch_size: int) -> bool:
+        """Resident-gather is used on single-device runs whose dataset fits
+        the HBM budget.  Multi-device meshes keep the stacked path: a
+        gather of arbitrary global rows into a data-sharded batch would
+        insert a cross-device collective every step, while stacked batches
+        shard with zero communication."""
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            return False
+        data_bytes = sum(a.nbytes for a in jax.tree.leaves(ds.coupling))
+        return data_bytes <= self.config.epoch_hbm_budget_mb * (1 << 20)
+
+    @staticmethod
+    def _epoch_perm(n: int, batch_size: int, *, shuffle: bool, seed: int,
+                    epoch: int, pad_last: bool = False) -> np.ndarray:
+        """(n_b, B) row indices for one epoch — the exact index stream of
+        `shuffle_batches` (same SeedSequence), reshaped for the gather path."""
+        idx = np.arange(n)
+        if shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+            rng.shuffle(idx)
+        num_full = n // batch_size
+        out = idx[:num_full * batch_size].reshape(num_full, batch_size)
+        rem = n - num_full * batch_size
+        if rem and pad_last:
+            import math as _math
+
+            tail = np.tile(idx[num_full * batch_size:],
+                           _math.ceil(batch_size / rem))[:batch_size]
+            out = np.concatenate([out, tail[None]], axis=0)
+        return out.astype(np.int32)
+
     # ------------------------------------------------- multiplicity buckets
 
     @staticmethod
@@ -356,6 +427,19 @@ class Trainer:
                 log.warn("bucketed_training disabled: masks are not first-n filled")
                 train_buckets = val_buckets = None
 
+        # device-resident gather mode (single-device + dataset fits HBM):
+        # ship each (bucket) dataset to the device ONCE; epochs gather
+        # their batches on device from host permutation indices
+        def ship_resident(ds):
+            return jax.tree.map(
+                lambda a: jnp.asarray(a),
+                ds.coupling) if self._use_resident_gather(ds, cfg.batch_size) else None
+
+        if train_buckets is None:
+            train_units = [(train_ds, ship_resident(train_ds))]
+        else:
+            train_units = [(b_ds, ship_resident(b_ds)) for _, b_ds, _ in train_buckets]
+
         # the val stack(s) are deterministic — build and ship once when they
         # fit the HBM budget, else stream per epoch
         def build_val(ds):
@@ -363,6 +447,12 @@ class Trainer:
             n_batches = num_batches(n, cfg.batch_size, drop_last=False)
             weights = [min(cfg.batch_size, n - i * cfg.batch_size)
                        for i in range(n_batches)]
+            data_dev = ship_resident(ds)
+            if data_dev is not None:
+                idx = jnp.asarray(self._epoch_perm(
+                    n, cfg.batch_size, shuffle=False, seed=0, epoch=0,
+                    pad_last=True))
+                return ("gather", (data_dev, idx), weights)
             if n_batches <= self._chunk_len(ds, cfg.batch_size):
                 stack, _ = self._stack_epoch(ds, cfg.batch_size, shuffle=False,
                                              pad_last=True)
@@ -378,18 +468,36 @@ class Trainer:
             t0 = time.time()
             # ---- train: one compiled scan per epoch (per bucket)
             k_epoch = jax.random.fold_in(k_train, epoch)
+
+            def run_unit(state, ds, data_dev, key):
+                """Train one dataset for one epoch via the resident-gather
+                path when shipped, else chunked stacks.  Returns
+                (state, [(metrics_seq, n_batches), ...])."""
+                outs = []
+                if data_dev is not None:
+                    idx = self._epoch_perm(len(ds), cfg.batch_size,
+                                           shuffle=True, seed=cfg.seed,
+                                           epoch=epoch)
+                    state, metrics_seq = self.compiled_train_epoch_gather()(
+                        state, data_dev, jnp.asarray(idx), key)
+                    outs.append((metrics_seq, idx.shape[0]))
+                else:
+                    for stack, n_b in self._epoch_chunks(
+                            ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                            epoch=epoch):
+                        state, metrics_seq = train_epoch_fn(state, stack, key)
+                        outs.append((metrics_seq, n_b))
+                return state, outs
+
+            accum, weights = [], []
             if train_buckets is None:
-                accum, weights = [], []
-                for stack, n_b in self._epoch_chunks(
-                        train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
-                        epoch=epoch):
-                    state, metrics_seq = train_epoch_fn(state, stack, k_epoch)
-                    accum.append(metrics_seq)
+                ds0, dev0 = train_units[0]
+                state, outs = run_unit(state, ds0, dev0, k_epoch)
+                for m, n_b in outs:
+                    accum.append(m)
                     weights.append(n_b)
                     global_step += n_b
-                train_metrics = _combine_stacked(accum, weights, prefix="train_")
             else:
-                accum, weights = [], []
                 # random bucket order per epoch (avoids a fixed curriculum)
                 rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, epoch, 77]))
                 for bi in rng.permutation(len(train_buckets)):
@@ -400,22 +508,24 @@ class Trainer:
                         log.warn(f"bucket width {w}: {len(b_ds)} jets < "
                                  f"batch_size {cfg.batch_size}; skipped")
                         continue
-                    k_bucket = jax.random.fold_in(k_epoch, int(bi))
-                    for stack, n_b in self._epoch_chunks(
-                            b_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
-                            epoch=epoch):
-                        state, metrics_seq = train_epoch_fn(state, stack, k_bucket)
-                        accum.append(metrics_seq)
+                    state, outs = run_unit(state, b_ds, train_units[bi][1],
+                                           jax.random.fold_in(k_epoch, int(bi)))
+                    for m, n_b in outs:
+                        accum.append(m)
                         weights.append(n_b)
                         global_step += n_b
-                train_metrics = _combine_stacked(accum, weights, prefix="train_")
+            train_metrics = _combine_stacked(accum, weights, prefix="train_")
 
             # ---- validate with EMA params when enabled (tail batch padded;
             # means weighted by real jet count)
             k_val = jax.random.fold_in(k_train, 1_000_000_000 + epoch)
             v_accum, v_weights = [], []
             for kind, payload, weights in val_sets:
-                if kind == "resident":
+                if kind == "gather":
+                    data_dev, idx = payload
+                    v_accum.append(self.compiled_eval_epoch_gather()(
+                        state, data_dev, idx, k_val))
+                elif kind == "resident":
                     v_accum.append(eval_epoch_fn(state, payload, k_val))
                 else:
                     # stream oversized val sets chunk by chunk, concatenating

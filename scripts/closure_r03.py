@@ -83,12 +83,21 @@ def main(argv=None):
             f.create_dataset("PFCands", data=pf)
         log.info(f"wrote synthetic PFCands {pf.shape} -> {h5_path}")
 
+    # single featurization pass (this box is a 1-vCPU microVM; loading the
+    # 330k-jet file twice costs ~15 min): load raw once, split, standardize
+    # the train slice with its own statistics
+    from multimodal_flows_tpu.data.aoj import extract_metadata
+
     aoj = AspenOpenJets(args.workdir, "RunG_synth_r03.h5")
-    jets, metadata = aoj(num_jets=args.num_jets, max_num_particles=args.max_p,
-                         transform="standardize")
-    test_jets, _ = aoj(num_jets=None, max_num_particles=args.max_p,
-                       transform=None)
-    test_jets = test_jets[args.num_jets:]          # held-out, unstandardized
+    all_jets, _ = aoj(num_jets=None, max_num_particles=args.max_p,
+                      transform=None)
+    test_jets = all_jets[args.num_jets:]           # held-out, unstandardized
+    raw = all_jets[:args.num_jets]
+    metadata = extract_metadata(np.asarray(raw.continuous), np.asarray(raw.mask))
+    mean = np.asarray(metadata["mean"], np.float32)
+    std = np.asarray(metadata["std"], np.float32)
+    jets = raw.replace(continuous=(((np.asarray(raw.continuous) - mean) / std)
+                                   * np.asarray(raw.mask)).astype(np.float32))
     log.info(f"train {len(jets)} jets, held-out test {len(test_jets)}")
 
     # the reference flagship network (train_mmf.py:42-52) with the round-3

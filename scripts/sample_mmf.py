@@ -14,6 +14,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from multimodal_flows_tpu.config import Config
@@ -100,16 +102,33 @@ def main(argv=None):
 
     from multimodal_flows_tpu.utils.metrics import wasserstein_flavor
 
+    from multimodal_flows_tpu.utils.metrics import wasserstein1d
+
     for res in results:
         res_dir = os.path.join(config.experiment_dir, f"generation_results{res.tag}")
-        w1 = wasserstein_flavor(res.sample, test,
-                                path=os.path.join(res_dir, "w1_flavor.txt"))
+        point = {"jets_per_sec": res.jets_per_sec,
+                 "num_timesteps": res.num_timesteps,
+                 "temperature": res.temperature}
+        if res.sample.discrete is not None:
+            w1 = wasserstein_flavor(res.sample, test,
+                                    path=os.path.join(res_dir, "w1_flavor.txt"))
+            point["w1_flavor"] = w1
+            log.info(f"{res.tag}: W1(multiplicity)={w1['multiplicity']:.4f}")
+        if res.sample.continuous is not None:
+            # kinematic closure for continuous(-only) systems: per-feature
+            # W1 over real particles, physical units
+            g = np.asarray(res.sample.continuous)
+            r = np.asarray(test.continuous)
+            gm = np.asarray(res.sample.mask)[..., 0] > 0
+            rm = np.asarray(test.mask)[..., 0] > 0
+            names = config.continuous_features or ["pt", "eta_rel", "phi_rel"]
+            point["w1_kinematics"] = {
+                name: wasserstein1d(g[..., i][gm], r[..., i][rm])
+                for i, name in enumerate(names)}
+            log.info(f"{res.tag}: W1(kin)=" + str(
+                {k: round(v, 4) for k, v in point['w1_kinematics'].items()}))
         with open(os.path.join(res_dir, "metrics.json"), "w") as f:
-            json.dump({"w1_flavor": w1,
-                       "jets_per_sec": res.jets_per_sec,
-                       "num_timesteps": res.num_timesteps,
-                       "temperature": res.temperature}, f, indent=1)
-        log.info(f"{res.tag}: W1(multiplicity)={w1['multiplicity']:.4f}")
+            json.dump(point, f, indent=1)
 
     if args.make_plots:
         from multimodal_flows_tpu.utils.jet_features import JetFeatures

@@ -64,6 +64,14 @@ def experiment_configs(argv=None) -> Config:
     p.add_argument("--bias", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--multitask_loss", "-loss", type=str, default="time-weighted")
     p.add_argument("--use_coocurrence", action="store_true", default=False)
+    p.add_argument("--use_pairwise", action="store_true", default=False,
+                   help="pairwise attention bias (Lund for KinFormer, token "
+                        "co-occurrence for FlavorFormer); reference YAML-only "
+                        "keys `ParticleTransformers.py:246-252,339-351`")
+    p.add_argument("--use_pos_emb", action="store_true", default=False,
+                   help="learned positional embedding (FlavorFormer/KinFormer)")
+    p.add_argument("--n_embd_glob", type=int, default=16,
+                   help="EPiC global-stream width (reference `EPiC.py:22`)")
     # dynamics
     p.add_argument("--beta", "-b", type=float, default=0.075)
     p.add_argument("--sigma", "-sig", type=float, default=1e-5)
