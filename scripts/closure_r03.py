@@ -53,6 +53,11 @@ def main(argv=None):
                    help="continue from the experiment's `last` checkpoint")
     p.add_argument("--skip_train", action="store_true",
                    help="generation + metrics only, from the best checkpoint")
+    p.add_argument("--ckpt_every", type=int, default=10,
+                   help="checkpoint cadence in epochs; orbax serialization "
+                        "costs ~2 min per save on this 1-vCPU host, so with "
+                        "~30 s epochs a dense cadence dominates wall time")
+    p.add_argument("--save_top_k", type=int, default=2)
     args = p.parse_args(argv)
 
     import h5py
@@ -111,7 +116,8 @@ def main(argv=None):
         use_ema_weights=True, multitask_loss="time-weighted",
         bucketed_training=True, bucket_widths=[48],
         metadata=metadata, dir=args.workdir, project="closure", seed=0,
-        save_top_k=3, checkpoint_every_n_epochs=2,
+        save_top_k=args.save_top_k,
+        checkpoint_every_n_epochs=args.ckpt_every,
     )
     cfg.experiment_id = args.experiment_id
     cfg.save()  # persist config.yaml so scripts/sample_mmf.py can load
