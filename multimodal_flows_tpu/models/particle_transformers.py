@@ -286,7 +286,10 @@ class FlavorFormer(nn.Module):
         time_emb = timestep_embedding(state.time, cfg.n_embd).astype(dt)[:, None, :]
 
         if cfg.use_pos_emb:
-            pos = jnp.arange(cfg.max_num_particles)
+            # index by the actual (possibly bucket-truncated) width: slots
+            # are first-n filled, so positions 0..T-1 are the right rows of
+            # the max_num_particles-sized table at any width
+            pos = jnp.arange(tok.shape[1])
             pos_emb = nn.Embed(cfg.max_num_particles, cfg.n_embd, embedding_init=EMBED_INIT,
                                dtype=dt, name="wpe")(pos)
             tok = tok + pos_emb[None, :, :]
@@ -390,7 +393,7 @@ class KinFormer(nn.Module):
         time_emb = timestep_embedding(state.time, cfg.n_embd).astype(dt)[:, None, :]
 
         if cfg.use_pos_emb:
-            pos = jnp.arange(cfg.max_num_particles)
+            pos = jnp.arange(x.shape[1])
             pos_emb = nn.Embed(cfg.max_num_particles, cfg.n_embd, embedding_init=EMBED_INIT,
                                dtype=dt, name="wpe")(pos)
             x = x + pos_emb[None, :, :]

@@ -1,0 +1,197 @@
+"""Trained closures for the non-flagship encoders (VERDICT r2 #3).
+
+Runs the PRODUCTION CLIs end to end for each variant —
+
+  (a) CFM + KinFormer with the Lund pairwise attention bias
+      (reference `ParticleTransformers.py:315-432`)
+  (b) MJB + FlavorFormer with pairwise token-interaction bias + learned
+      positional embedding (reference `ParticleTransformers.py:223-312`)
+  (c) CFM + EPiC (reference `EPiC.py:9-178`)
+
+— training via `scripts/train_mmf.py` on the round-3 synthetic AOJ file,
+sampling via `scripts/sample_mmf.py`, then collects each point's
+metrics.json (+ the learned lambda_u gate where applicable) into
+ENCODER_CLOSURES_r03.md.  This converts the "unit-tested only" verdict on
+these encoders into "trains stably + samples via the CLI + W1 reported".
+
+Usage: python scripts/encoder_closures_r03.py [--epochs 20] [--num_jets 60000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+VARIANTS = [
+    {
+        "name": "CFM + KinFormer (Lund pairwise)",
+        "train": ["--system", "CFM", "--model", "KinFormer", "--use_pairwise"],
+        "lambda_u": True,
+    },
+    {
+        "name": "MJB + FlavorFormer (pairwise + pos-emb)",
+        "train": ["--system", "MJB", "--model", "FlavorFormer",
+                  "--use_pairwise", "--use_pos_emb"],
+        "lambda_u": True,
+    },
+    {
+        "name": "CFM + EPiC",
+        "train": ["--system", "CFM", "--model", "EPiC", "--n_embd_glob", "16"],
+        "lambda_u": False,
+    },
+]
+
+
+def run(cmd, log_path):
+    with open(log_path, "a") as f:
+        f.write("\n$ " + " ".join(cmd) + "\n")
+        f.flush()
+        subprocess.run(cmd, check=True, stdout=f, stderr=subprocess.STDOUT,
+                       cwd=REPO)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_jets", type=int, default=60_000)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--gen_jets", type=int, default=20_000)
+    p.add_argument("--num_timesteps", type=int, default=200)
+    p.add_argument("--dir", default="/tmp/encoders")
+    p.add_argument("--dir_aoj", default="/tmp/closure_r03")
+    p.add_argument("--data_files", default="RunG_synth_r03.h5")
+    p.add_argument("--out_md", default="ENCODER_CLOSURES_r03.md")
+    args = p.parse_args(argv)
+
+    os.makedirs(args.dir, exist_ok=True)
+    log_path = os.path.join(args.dir, "runner.log")
+    results = []
+
+    for v in VARIANTS:
+        before = set(glob.glob(os.path.join(args.dir, "enc", "*")))
+        t0 = time.time()
+        run([sys.executable, "scripts/train_mmf.py",
+             "--dir", args.dir, "--project", "enc",
+             "--dir_aoj", args.dir_aoj, "-f", args.data_files,
+             "-n", str(args.num_jets), "-d", "64",
+             "-bs", "256", "-epochs", str(args.epochs),
+             "--train_frac", "0.95",
+             "--lr", "1e-3", "--lr_final", "1e-5", "--warmup_epochs", "1",
+             "--n_embd", "128", "--n_inner", "256", "--n_layer", "4",
+             "--n_layer_fused", "4", "--n_head", "4", "-ema",
+             "--seed", "0",
+             *v["train"]], log_path)
+        train_s = time.time() - t0
+        exp_dir = (set(glob.glob(os.path.join(args.dir, "enc", "*"))) - before).pop()
+        exp_id = os.path.basename(exp_dir)
+
+        t0 = time.time()
+        run([sys.executable, "scripts/sample_mmf.py",
+             "--dir", args.dir, "--project", "enc", "-id", exp_id,
+             "-n", str(args.gen_jets), "-steps", str(args.num_timesteps),
+             "-tmp", "1.0", "-bs", "256"], log_path)
+        gen_s = time.time() - t0
+
+        # collect metrics + training health
+        mjson = glob.glob(os.path.join(exp_dir, "generation_results*",
+                                       "metrics.json"))[0]
+        metrics = json.load(open(mjson))
+        rows = [json.loads(l) for l in
+                open(os.path.join(exp_dir, "metrics.jsonl"))]
+        lam = None
+        if v["lambda_u"]:
+            # read the learned pairwise gate from the best checkpoint
+            lam = _read_lambda_u(exp_dir)
+        results.append({"variant": v["name"], "experiment": exp_id,
+                        "train_seconds": round(train_s, 1),
+                        "gen_seconds": round(gen_s, 1),
+                        "final_train_loss": rows[-1].get("train_loss"),
+                        "final_val_loss": rows[-1].get("val_loss"),
+                        "losses_finite": all(
+                            r.get("val_loss") == r.get("val_loss") and
+                            abs(r.get("val_loss", 0)) < 1e9 for r in rows),
+                        "lambda_u": lam, "metrics": metrics})
+        print(json.dumps(results[-1], indent=1), flush=True)
+
+    _write_md(args, results)
+
+
+def _read_lambda_u(exp_dir):
+    import numpy as np
+
+    for root, _, files in os.walk(os.path.join(exp_dir, "checkpoints", "best")):
+        pass
+    try:
+        import orbax.checkpoint as ocp
+
+        tree = ocp.StandardCheckpointer().restore(
+            os.path.join(exp_dir, "checkpoints", "best"))
+        flat = {"/".join(str(k) for k in path): v
+                for path, v in _flatten(tree)}
+        for k, v in flat.items():
+            if "lambda_u" in k and "ema" in k:
+                return float(np.asarray(v))
+        for k, v in flat.items():
+            if "lambda_u" in k:
+                return float(np.asarray(v))
+    except Exception as e:
+        return f"unreadable: {e}"
+    return None
+
+
+def _flatten(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, path + (k,))
+    else:
+        yield path, tree
+
+
+def _write_md(args, results):
+    lines = [
+        "# Encoder closures — round 3",
+        "",
+        "Short trained closures for every non-flagship encoder via the",
+        "production CLIs (`scripts/train_mmf.py` -> `scripts/sample_mmf.py`)",
+        f"on the round-3 synthetic AOJ workload ({args.num_jets:,} jets,",
+        f"{args.epochs} epochs, {args.gen_jets:,} jets sampled at",
+        f"{args.num_timesteps} steps).  Converts VERDICT r2's",
+        "\"implemented-but-never-trained\" into trained + sampled + measured.",
+        "Note: the W1 comparison sample is the head of the same synthetic",
+        "file (quick-closure signal, not a strict held-out split).",
+        "",
+    ]
+    for r in results:
+        lines += [f"## {r['variant']}", "",
+                  f"- experiment `{r['experiment']}`: trained "
+                  f"{r['train_seconds']}s, sampled {r['gen_seconds']}s, "
+                  f"losses finite: {r['losses_finite']}",
+                  f"- final train/val loss: {r['final_train_loss']:.4f} / "
+                  f"{r['final_val_loss']:.4f}"]
+        if r["lambda_u"] is not None:
+            lines += [f"- learned pairwise gate lambda_u = {r['lambda_u']}"]
+        m = r["metrics"]
+        if "w1_flavor" in m:
+            w = m["w1_flavor"]
+            worst = sorted(w.items(), key=lambda kv: -kv[1])[:4]
+            lines += ["- W1 flavor multiplicities (worst 4): " +
+                      ", ".join(f"{k}={v:.3f}" for k, v in worst)]
+        if "w1_kinematics" in m:
+            lines += ["- W1 kinematics: " +
+                      ", ".join(f"{k}={v:.4f}" for k, v in
+                                m["w1_kinematics"].items())]
+        lines += [f"- sampler throughput: {m['jets_per_sec']:.1f} jets/s "
+                  f"@{m['num_timesteps']} steps", ""]
+    with open(os.path.join(REPO, args.out_md), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote", args.out_md)
+
+
+if __name__ == "__main__":
+    main()
