@@ -88,21 +88,34 @@ def main(argv=None):
             f.create_dataset("PFCands", data=pf)
         log.info(f"wrote synthetic PFCands {pf.shape} -> {h5_path}")
 
-    # single featurization pass (this box is a 1-vCPU microVM; loading the
-    # 330k-jet file twice costs ~15 min): load raw once, split, standardize
-    # the train slice with its own statistics
+    # single featurization pass (this box is a 1-vCPU microVM; featurizing
+    # 330k jets costs ~13 min), cached: restarts (tunnel stalls force them)
+    # reload the featurized arrays in seconds
     from multimodal_flows_tpu.data.aoj import extract_metadata
+    from multimodal_flows_tpu.data.state import MultiModal as MM
 
-    aoj = AspenOpenJets(args.workdir, "RunG_synth_r03.h5")
-    all_jets, _ = aoj(num_jets=None, max_num_particles=args.max_p,
-                      transform=None)
-    test_jets = all_jets[args.num_jets:]           # held-out, unstandardized
-    raw = all_jets[:args.num_jets]
-    metadata = extract_metadata(np.asarray(raw.continuous), np.asarray(raw.mask))
-    mean = np.asarray(metadata["mean"], np.float32)
-    std = np.asarray(metadata["std"], np.float32)
-    jets = raw.replace(continuous=(((np.asarray(raw.continuous) - mean) / std)
-                                   * np.asarray(raw.mask)).astype(np.float32))
+    cache_train = os.path.join(args.workdir, "featurized_train.h5")
+    cache_test = os.path.join(args.workdir, "featurized_test.h5")
+    cache_meta = os.path.join(args.workdir, "featurized_meta.json")
+    if all(os.path.exists(p) for p in (cache_train, cache_test, cache_meta)):
+        jets = MM.load_from(cache_train)
+        test_jets = MM.load_from(cache_test)
+        metadata = json.load(open(cache_meta))
+        log.info("loaded featurized cache")
+    else:
+        aoj = AspenOpenJets(args.workdir, "RunG_synth_r03.h5")
+        all_jets, _ = aoj(num_jets=None, max_num_particles=args.max_p,
+                          transform=None)
+        test_jets = all_jets[args.num_jets:]       # held-out, unstandardized
+        raw = all_jets[:args.num_jets]
+        metadata = extract_metadata(np.asarray(raw.continuous), np.asarray(raw.mask))
+        mean = np.asarray(metadata["mean"], np.float32)
+        std = np.asarray(metadata["std"], np.float32)
+        jets = raw.replace(continuous=(((np.asarray(raw.continuous) - mean) / std)
+                                       * np.asarray(raw.mask)).astype(np.float32))
+        jets.save_to(cache_train)
+        test_jets.astype_numpy().save_to(cache_test)
+        json.dump(metadata, open(cache_meta, "w"))
     log.info(f"train {len(jets)} jets, held-out test {len(test_jets)}")
 
     # the reference flagship network (train_mmf.py:42-52) with the round-3
