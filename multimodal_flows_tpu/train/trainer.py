@@ -158,6 +158,18 @@ class Trainer:
         _, metrics = jax.lax.scan(body, jnp.int32(0), epoch_batches)
         return metrics
 
+    @staticmethod
+    def _fetch_metrics(metrics_seq):
+        """Fetch a {name: (n_b,)} metric dict in ONE device->host transfer.
+
+        Per-leaf np.asarray costs one tunnel round trip each (~1-2 s over
+        the remote-TPU transport); stacking on device first makes the
+        whole epoch's metrics a single fetch."""
+        names = sorted(metrics_seq)
+        stacked = jnp.stack([metrics_seq[k].astype(jnp.float32) for k in names])
+        fetched = np.asarray(stacked)
+        return {k: fetched[i] for i, k in enumerate(names)}
+
     def compiled_train_epoch(self):
         if "train_epoch" not in self._compiled:
             self._compiled["train_epoch"] = jax.jit(self._train_epoch, donate_argnums=0)
@@ -480,13 +492,13 @@ class Trainer:
                                            epoch=epoch)
                     state, metrics_seq = self.compiled_train_epoch_gather()(
                         state, data_dev, jnp.asarray(idx), key)
-                    outs.append((metrics_seq, idx.shape[0]))
+                    outs.append((self._fetch_metrics(metrics_seq), idx.shape[0]))
                 else:
                     for stack, n_b in self._epoch_chunks(
                             ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
                             epoch=epoch):
                         state, metrics_seq = train_epoch_fn(state, stack, key)
-                        outs.append((metrics_seq, n_b))
+                        outs.append((self._fetch_metrics(metrics_seq), n_b))
                 return state, outs
 
             accum, weights = [], []
@@ -523,10 +535,11 @@ class Trainer:
             for kind, payload, weights in val_sets:
                 if kind == "gather":
                     data_dev, idx = payload
-                    v_accum.append(self.compiled_eval_epoch_gather()(
-                        state, data_dev, idx, k_val))
+                    v_accum.append(self._fetch_metrics(
+                        self.compiled_eval_epoch_gather()(state, data_dev, idx, k_val)))
                 elif kind == "resident":
-                    v_accum.append(eval_epoch_fn(state, payload, k_val))
+                    v_accum.append(self._fetch_metrics(
+                        eval_epoch_fn(state, payload, k_val)))
                 else:
                     # stream oversized val sets chunk by chunk, concatenating
                     # the per-batch metric stacks
