@@ -640,11 +640,16 @@ def run_generation_sweep(
     """The reference sweep driver: num_files x temperature x num_timesteps
     (reference `sample_mmf.py:147-168`)."""
     results = []
+    tags = config.tags or ""
+    if isinstance(tags, (list, tuple)):
+        tags = "_".join(str(t) for t in tags)
+    if tags:
+        tags = f"_{tags}"
     for i in range(num_files):
         for temp in temperatures:
             for steps in timestep_grid:
                 suffix = f"_{i}" if i > 0 else ""
-                tag = f"{config.tags or ''}{suffix}_steps_{steps}_temp_{temp}"
+                tag = f"{tags}{suffix}_steps_{steps}_temp_{temp}"
                 res = generate_packed(
                     system, params, test_masks,
                     num_timesteps=steps, temperature=temp,

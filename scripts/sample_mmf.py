@@ -33,6 +33,9 @@ def experiment_configs(argv=None):
     p.add_argument("--project", "-proj", type=str, default="aoj_jets")
     p.add_argument("--experiment_id", "-id", type=str, required=True)
     p.add_argument("--data_files", "-f", type=str, default="RunG_batch0.h5")
+    p.add_argument("--dir_aoj", type=str, default=None,
+                   help="override the experiment's stored AOJ data dir "
+                        "(reference `train_mmf.py:19`)")
     p.add_argument("--continuous_features", "-cont", type=str, nargs="*",
                    default=["pt", "eta_rel", "phi_rel"])
     p.add_argument("--discrete_features", "-disc", type=str, default="tokens")
@@ -55,6 +58,8 @@ def experiment_configs(argv=None):
               "discrete_features", "batch_size", "num_jets", "top_k", "top_p",
               "use_final_max_rates", "num_files"]:
         setattr(run_cfg, k, getattr(args, k))
+    if args.dir_aoj is not None:
+        run_cfg.dir_aoj = args.dir_aoj
     run_cfg.temperature = args.temperature
     run_cfg.num_timesteps = args.num_timesteps
     return run_cfg, args
