@@ -62,7 +62,9 @@ The reference's published workload (README:41, `sample_mmf.py:29-31,
 temperature {{0.8, 1.0, 1.2}}**, run through the flag-compatible
 `scripts/sample_mmf.py` CLI against the round-3 flagship experiment
 (`closure_r03/`, reference `train_mmf.py:42-52` config trained on 291k
-synthetic jets), with the packed sampler, crash-free in one command.
+synthetic jets), with the packed sampler — crash-free, one CLI
+invocation per temperature (3 points each; the CLI accepts the full
+grid in one command, the split bounds a tunnel-crash blast radius).
 
 Each point wrote `generation_results_*/generated_sample.h5` +
 `configs.yaml` + `metrics.json` (copies of the metrics in `sweep_r03/`).
