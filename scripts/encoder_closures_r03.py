@@ -33,20 +33,42 @@ VARIANTS = [
     {
         "name": "CFM + KinFormer (Lund pairwise)",
         "train": ["--system", "CFM", "--model", "KinFormer", "--use_pairwise"],
+        "match": {"model": "KinFormer", "use_pairwise": True},
         "lambda_u": True,
     },
     {
         "name": "MJB + FlavorFormer (pairwise + pos-emb)",
         "train": ["--system", "MJB", "--model", "FlavorFormer",
                   "--use_pairwise", "--use_pos_emb"],
+        "match": {"model": "FlavorFormer", "use_pairwise": True,
+                  "use_pos_emb": True},
         "lambda_u": True,
     },
     {
         "name": "CFM + EPiC",
         "train": ["--system", "CFM", "--model", "EPiC", "--n_embd_glob", "16"],
+        "match": {"model": "EPiC"},
         "lambda_u": False,
     },
 ]
+
+
+def _find_trained(args, variant):
+    """Resume support: an existing experiment whose config matches this
+    variant and whose best checkpoint exists (tunnel crashes kill the
+    driver mid-variant; restarts must not retrain)."""
+    import yaml
+
+    for exp_dir in sorted(glob.glob(os.path.join(args.dir, "enc", "*")),
+                          key=os.path.getmtime, reverse=True):
+        cfg_path = os.path.join(exp_dir, "config.yaml")
+        if not os.path.exists(cfg_path):
+            continue
+        cfg = yaml.safe_load(open(cfg_path))
+        if all(cfg.get(k) == v for k, v in variant["match"].items()) and \
+                os.path.isdir(os.path.join(exp_dir, "checkpoints", "best")):
+            return exp_dir
+    return None
 
 
 def run(cmd, log_path):
@@ -74,29 +96,42 @@ def main(argv=None):
     results = []
 
     for v in VARIANTS:
-        before = set(glob.glob(os.path.join(args.dir, "enc", "*")))
-        t0 = time.time()
-        run([sys.executable, "scripts/train_mmf.py",
-             "--dir", args.dir, "--project", "enc",
-             "--dir_aoj", args.dir_aoj, "-f", args.data_files,
-             "-n", str(args.num_jets), "-d", "64",
-             "-bs", "256", "-epochs", str(args.epochs),
-             "--train_frac", "0.95",
-             "--lr", "1e-3", "--lr_final", "1e-5", "--warmup_epochs", "1",
-             "--n_embd", "128", "--n_inner", "256", "--n_layer", "4",
-             "--n_layer_fused", "4", "--n_head", "4", "-ema",
-             "--seed", "0",
-             *v["train"]], log_path)
-        train_s = time.time() - t0
-        exp_dir = (set(glob.glob(os.path.join(args.dir, "enc", "*"))) - before).pop()
+        exp_dir = _find_trained(args, v)
+        if exp_dir is not None:
+            train_s = 0.0
+            print(f"reusing trained experiment {exp_dir} for {v['name']}",
+                  flush=True)
+        else:
+            before = set(glob.glob(os.path.join(args.dir, "enc", "*")))
+            t0 = time.time()
+            run([sys.executable, "scripts/train_mmf.py",
+                 "--dir", args.dir, "--project", "enc",
+                 "--dir_aoj", args.dir_aoj, "-f", args.data_files,
+                 "-n", str(args.num_jets), "-d", "64",
+                 "-bs", "256", "-epochs", str(args.epochs),
+                 "--train_frac", "0.95",
+                 "--lr", "1e-3", "--lr_final", "1e-5", "--warmup_epochs", "1",
+                 "--n_embd", "128", "--n_inner", "256", "--n_layer", "4",
+                 "--n_layer_fused", "4", "--n_head", "4", "-ema",
+                 "--seed", "0",
+                 *v["train"]], log_path)
+            train_s = time.time() - t0
+            exp_dir = (set(glob.glob(os.path.join(args.dir, "enc", "*")))
+                       - before).pop()
         exp_id = os.path.basename(exp_dir)
 
-        t0 = time.time()
-        run([sys.executable, "scripts/sample_mmf.py",
-             "--dir", args.dir, "--project", "enc", "-id", exp_id,
-             "-n", str(args.gen_jets), "-steps", str(args.num_timesteps),
-             "-tmp", "1.0", "-bs", "256"], log_path)
-        gen_s = time.time() - t0
+        if glob.glob(os.path.join(exp_dir, "generation_results*",
+                                  "metrics.json")):
+            gen_s = 0.0
+            print(f"reusing generation results in {exp_dir}", flush=True)
+        else:
+            t0 = time.time()
+            run([sys.executable, "scripts/sample_mmf.py",
+                 "--dir", args.dir, "--project", "enc", "-id", exp_id,
+                 "-f", args.data_files, "--dir_aoj", args.dir_aoj,
+                 "-n", str(args.gen_jets), "-steps", str(args.num_timesteps),
+                 "-tmp", "1.0", "-bs", "256"], log_path)
+            gen_s = time.time() - t0
 
         # collect metrics + training health
         mjson = glob.glob(os.path.join(exp_dir, "generation_results*",
@@ -123,23 +158,27 @@ def main(argv=None):
 
 
 def _read_lambda_u(exp_dir):
+    """Read the learned pairwise gate from the best checkpoint via the
+    library's own loader (EMA params when enabled)."""
     import numpy as np
 
-    for root, _, files in os.walk(os.path.join(exp_dir, "checkpoints", "best")):
-        pass
     try:
-        import orbax.checkpoint as ocp
+        from multimodal_flows_tpu.config import Config
+        from multimodal_flows_tpu.train.systems import build_system
+        from multimodal_flows_tpu.train.trainer import Trainer
 
-        tree = ocp.StandardCheckpointer().restore(
-            os.path.join(exp_dir, "checkpoints", "best"))
+        cfg = Config.load(exp_dir)
+        kind = "MMF"
+        for t in cfg.tags or []:
+            if t.startswith("system:"):
+                kind = t.split(":", 1)[1]
+        system = build_system(cfg, kind)
+        params = Trainer(system, cfg, mesh=None).load_for_inference("best")
         flat = {"/".join(str(k) for k in path): v
-                for path, v in _flatten(tree)}
-        for k, v in flat.items():
-            if "lambda_u" in k and "ema" in k:
-                return float(np.asarray(v))
+                for path, v in _flatten(params)}
         for k, v in flat.items():
             if "lambda_u" in k:
-                return float(np.asarray(v))
+                return float(np.asarray(v).reshape(()))
     except Exception as e:
         return f"unreadable: {e}"
     return None
