@@ -438,8 +438,16 @@ def generate_packed(
     mult = pad_masks[..., 0].sum(axis=1)
     first_n = (pad_masks[..., 0].cumsum(axis=1) ==
                np.minimum(np.arange(1, D + 1)[None, :], mult[:, None])).all()
+    # pairwise-bias encoders materialize (B, D, D, n_embd) hidden tensors
+    # (Lund MLP, co-occurrence embed): packing to W=128 inflates those
+    # quadratically vs the ~48-wide buckets — ~2 GB per intermediate at
+    # B=256, several live inside the scanned forward — which breaches HBM
+    # and crashed the TPU worker twice; the attention win cannot cover the
+    # pair-MLP blowup, so these models sample bucketed
+    pairwise = (getattr(cfg, "use_pairwise", False)
+                or getattr(cfg, "use_coocurrence", False))
     if (cfg.model not in _PACKABLE_MODELS or getattr(cfg, "use_pos_emb", False)
-            or not first_n):
+            or pairwise or not first_n):
         return generate_bucketed(
             system, params, pad_masks, num_timesteps=num_timesteps,
             temperature=temperature, top_k=top_k, top_p=top_p,
@@ -636,9 +644,15 @@ def run_generation_sweep(
     num_files: int = 1,
     mesh=None,
     save: bool = True,
+    max_dispatch_steps: int = 8_000,
 ) -> List[GenerationResult]:
     """The reference sweep driver: num_files x temperature x num_timesteps
-    (reference `sample_mmf.py:147-168`)."""
+    (reference `sample_mmf.py:147-168`).
+
+    `max_dispatch_steps` bounds batches*timesteps per device program; lower
+    it for encoders whose forward is much heavier than the flagship the
+    default was calibrated on (e.g. pairwise-bias models), so single
+    dispatches stay in the tunnel-safe ~30-90 s range."""
     results = []
     tags = config.tags or ""
     if isinstance(tags, (list, tuple)):
@@ -657,6 +671,7 @@ def run_generation_sweep(
                     use_final_max_rates=config.use_final_max_rates,
                     batch_size=config.batch_size, seed=config.seed + i,
                     mesh=mesh, metadata=config.metadata,
+                    max_dispatch_steps=max_dispatch_steps,
                 )
                 res.tag = tag
                 log.info(f"generated {len(res.sample)} jets @steps={steps} T={temp}: "

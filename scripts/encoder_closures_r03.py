@@ -31,12 +31,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 VARIANTS = [
     {
-        "name": "CFM + KinFormer (Lund pairwise)",
-        "train": ["--system", "CFM", "--model", "KinFormer", "--use_pairwise"],
-        "match": {"model": "KinFormer", "use_pairwise": True},
-        "lambda_u": True,
-    },
-    {
         "name": "MJB + FlavorFormer (pairwise + pos-emb)",
         "train": ["--system", "MJB", "--model", "FlavorFormer",
                   "--use_pairwise", "--use_pos_emb"],
@@ -49,6 +43,12 @@ VARIANTS = [
         "train": ["--system", "CFM", "--model", "EPiC", "--n_embd_glob", "16"],
         "match": {"model": "EPiC"},
         "lambda_u": False,
+    },
+    {
+        "name": "CFM + KinFormer (Lund pairwise)",
+        "train": ["--system", "CFM", "--model", "KinFormer", "--use_pairwise"],
+        "match": {"model": "KinFormer", "use_pairwise": True},
+        "lambda_u": True,
     },
 ]
 
@@ -83,8 +83,12 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--num_jets", type=int, default=60_000)
     p.add_argument("--epochs", type=int, default=20)
-    p.add_argument("--gen_jets", type=int, default=20_000)
+    p.add_argument("--gen_jets", type=int, default=10_000)
     p.add_argument("--num_timesteps", type=int, default=200)
+    # the pairwise-bias forwards are several times heavier than the
+    # flagship the default dispatch cap was calibrated on; keep single
+    # device programs short (two worker crashes at the default cap)
+    p.add_argument("--max_dispatch_steps", type=int, default=2_000)
     p.add_argument("--dir", default="/tmp/encoders")
     p.add_argument("--dir_aoj", default="/tmp/closure_r03")
     p.add_argument("--data_files", default="RunG_synth_r03.h5")
@@ -130,7 +134,9 @@ def main(argv=None):
                  "--dir", args.dir, "--project", "enc", "-id", exp_id,
                  "-f", args.data_files, "--dir_aoj", args.dir_aoj,
                  "-n", str(args.gen_jets), "-steps", str(args.num_timesteps),
-                 "-tmp", "1.0", "-bs", "256"], log_path)
+                 "-tmp", "1.0", "-bs", "256",
+                 "--max_dispatch_steps", str(args.max_dispatch_steps)],
+                log_path)
             gen_s = time.time() - t0
 
         # collect metrics + training health

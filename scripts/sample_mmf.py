@@ -50,6 +50,10 @@ def experiment_configs(argv=None):
     p.add_argument("--use_final_max_rates", action="store_true", default=False)
     p.add_argument("--num_files", type=int, default=1)
     p.add_argument("--make_plots", "-plots", action="store_true", default=False)
+    p.add_argument("--max_dispatch_steps", type=int, default=8_000,
+                   help="cap batches*timesteps per device program; lower for "
+                        "encoders with heavy forwards (pairwise biases) to "
+                        "keep single dispatches tunnel-safe")
     args = p.parse_args(argv)
 
     run_cfg = Config.load(os.path.join(args.dir, args.project, args.experiment_id))
@@ -100,6 +104,7 @@ def main(argv=None):
         timestep_grid=args.num_timesteps,
         num_files=args.num_files,
         mesh=trainer.mesh,
+        max_dispatch_steps=args.max_dispatch_steps,
     )
 
     # W1 closure metrics vs the test sample (reference `utils/metrics.py:36-67`)
