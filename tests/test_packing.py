@@ -202,3 +202,35 @@ def test_generate_packed_falls_back_for_pos_emb():
     res = generate_packed(system, params, masks, num_timesteps=4,
                           batch_size=4, seed=0)
     assert res.sample.discrete.shape == (4, cfg.max_num_particles, 1)
+
+
+def test_generate_packed_falls_back_for_pairwise(monkeypatch):
+    """Pairwise-bias encoders must sample bucketed: their (B, D, D, n_embd)
+    pair-hidden tensors grow quadratically with row width, and packing them
+    to W=128 breached HBM on the real chip (TPU worker crash)."""
+    import multimodal_flows_tpu.sampling.generator as gen
+
+    calls = []
+    orig = gen.generate_bucketed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(gen, "generate_bucketed", spy)
+
+    for cfg, kind in [
+        (_mk_cfg(model="KinFormer", use_pairwise=True,
+                 metadata={"mean": [0.0] * 3, "std": [1.0] * 3}), "CFM"),
+        (_mk_cfg(model="FlavorFormer", use_pairwise=True), "MJB"),
+        (_mk_cfg(model="ParticleFormer", use_coocurrence=True), "MMF"),
+    ]:
+        system = build_system(cfg, kind)
+        params = system.init_params(jax.random.PRNGKey(0))
+        mult = np.asarray([4, 6, 3, 5])
+        masks = _first_n_masks(mult, cfg.max_num_particles)
+        n_before = len(calls)
+        res = gen.generate_packed(system, params, masks, num_timesteps=4,
+                                  batch_size=4, seed=0)
+        assert len(calls) == n_before + 1, f"{cfg.model} did not fall back"
+        assert res.sample.mask.shape == (4, cfg.max_num_particles, 1)
