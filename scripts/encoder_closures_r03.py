@@ -7,6 +7,8 @@ Runs the PRODUCTION CLIs end to end for each variant —
   (b) MJB + FlavorFormer with pairwise token-interaction bias + learned
       positional embedding (reference `ParticleTransformers.py:223-312`)
   (c) CFM + EPiC (reference `EPiC.py:9-178`)
+  (d) MMF + ParticleFormer with the token co-occurrence attention bias
+      (reference `ParticleTransformers.py:124-133`)
 
 — training via `scripts/train_mmf.py` on the round-3 synthetic AOJ file,
 sampling via `scripts/sample_mmf.py`, then collects each point's
@@ -49,6 +51,16 @@ VARIANTS = [
         "train": ["--system", "CFM", "--model", "KinFormer", "--use_pairwise"],
         "match": {"model": "KinFormer", "use_pairwise": True},
         "lambda_u": True,
+    },
+    {
+        # the last never-trained variant from VERDICT r2 weak #4: the
+        # flagship encoder with the token co-occurrence attention bias
+        # (reference `ParticleTransformers.py:56-58,70-72,124-133`)
+        "name": "MMF + ParticleFormer (co-occurrence bias)",
+        "train": ["--system", "MMF", "--model", "ParticleFormer",
+                  "--use_coocurrence"],
+        "match": {"model": "ParticleFormer", "use_coocurrence": True},
+        "lambda_u": False,
     },
 ]
 
@@ -164,6 +176,25 @@ def main(argv=None):
 
 
 def _read_lambda_u(exp_dir):
+    """Read the learned pairwise gate in a CPU-forced subprocess.
+
+    The read is pure checkpoint I/O, but importing the library in this
+    (TPU-connected) process initializes the axon backend — and a wedged
+    tunnel then blocks the whole driver indefinitely (observed 2026-08-17).
+    A child with JAX_PLATFORM_NAME=cpu never touches the tunnel."""
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--read_lambda_u", exp_dir],
+                       capture_output=True, text=True, env=env, cwd=REPO)
+    for line in reversed(r.stdout.splitlines()):
+        try:
+            return json.loads(line)["lambda_u"]
+        except (ValueError, KeyError):
+            continue
+    return f"unreadable: rc={r.returncode} {r.stderr[-300:]}"
+
+
+def _read_lambda_u_inproc(exp_dir):
     """Read the learned pairwise gate from the best checkpoint via the
     library's own loader (EMA params when enabled)."""
     import numpy as np
@@ -239,4 +270,9 @@ def _write_md(args, results):
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--read_lambda_u":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps({"lambda_u": _read_lambda_u_inproc(sys.argv[2])}))
+    else:
+        main()
