@@ -15,6 +15,7 @@ Fields (any may be None):
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -151,14 +152,21 @@ class MultiModal:
     # -------------------------------------------------------------- HDF5 I/O
 
     def save_to(self, path: str) -> None:
-        """Write fields to an HDF5 file (reference `tensorclass.py:197-201`)."""
+        """Write fields to an HDF5 file (reference `tensorclass.py:197-201`).
+
+        Atomic: writes to a sibling tmp file then renames, so a crash
+        mid-write (observed: TPU-tunnel worker death during a generation
+        run) never leaves a truncated/corrupt .h5 that a resume pass then
+        trips over."""
         import h5py
 
-        with h5py.File(path, "w") as f:
+        tmp = path + ".tmp"
+        with h5py.File(tmp, "w") as f:
             for mode in _MODES:
                 v = getattr(self, mode)
                 if v is not None:
                     f.create_dataset(mode, data=np.asarray(v))
+        os.replace(tmp, path)
 
     @classmethod
     def load_from(cls, path: str, transform=None) -> "MultiModal":

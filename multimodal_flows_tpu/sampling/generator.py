@@ -16,6 +16,7 @@ like the reference generator callback (`callbacks.py:52-62`).
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 import time
 from typing import Dict, List, Optional
@@ -516,6 +517,29 @@ def generate_packed(
                             temperature=temperature)
 
 
+def _rebalanced_batch(n_rows: int, batch_size: int, gran: int = 8) -> int:
+    """Shrink the batch so the same number of scan batches covers `n_rows`
+    nearly evenly, killing the pad tail of the last batch.
+
+    E.g. 674 packed rows at B=256 pad to 3x256=768: the last batch is ~37%
+    empty rows that still ride the full forward (12% of the whole run).
+    Rebalancing to B=232 covers them in 3x232=696 — one compile, no extra
+    dispatch (vs the flat path's separate tail program, `generate`).
+    `gran` keeps MXU row tiling (8) and data-axis divisibility on meshes.
+    Only fires when it removes >=32 pad rows AND >=5% of the padded total,
+    so big production runs (last-batch waste already amortized over many
+    batches) keep their round-number compile signatures."""
+    n_batches = (n_rows + batch_size - 1) // batch_size
+    if n_batches <= 1:
+        return batch_size
+    balanced = -(-n_rows // n_batches)          # ceil: rows per batch
+    balanced = -(-balanced // gran) * gran      # ceil to granularity
+    saved = (batch_size - balanced) * n_batches
+    if saved >= 32 and saved >= 0.05 * n_batches * batch_size:
+        return balanced
+    return batch_size
+
+
 def _run_packed_rows(system, params, row_masks: np.ndarray, row_segs: np.ndarray,
                      *, num_timesteps: int, temperature: float, top_k, top_p,
                      use_final_max_rates: bool, batch_size: int, seed: int,
@@ -539,6 +563,18 @@ def _run_packed_rows(system, params, row_masks: np.ndarray, row_segs: np.ndarray
     if mesh is None and n_rows < batch_size:
         batch_size = min(_snap_batch(n_rows), batch_size)
 
+    n_batches = (n_rows + batch_size - 1) // batch_size
+    # pad-tail rebalance: e.g. 674 rows at B=256 pad to 3x256=768 — the last
+    # batch is ~37% empty rows that still ride the full forward (12% of the
+    # whole run).  Shrinking the batch so the SAME number of batches covers
+    # the rows nearly evenly removes that waste with one compile and no
+    # extra dispatch (vs the flat path's separate tail program,
+    # `generate`:128-153).  Granularity 8 keeps MXU row tiling; the data
+    # axis keeps its divisibility on meshes.  Only fires when it saves
+    # >=32 rows so big production runs (last-batch waste amortized) keep
+    # their round-number compile signatures.
+    batch_size = _rebalanced_batch(
+        n_rows, batch_size, gran=8 if mesh is None else math.lcm(8, n_data))
     n_batches = (n_rows + batch_size - 1) // batch_size
     total = n_batches * batch_size
     if total > n_rows:  # pad with empty rows (mask 0, segment -1)

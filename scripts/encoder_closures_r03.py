@@ -83,12 +83,18 @@ def _find_trained(args, variant):
     return None
 
 
-def run(cmd, log_path):
+def run(cmd, log_path, env=None):
     with open(log_path, "a") as f:
         f.write("\n$ " + " ".join(cmd) + "\n")
         f.flush()
         subprocess.run(cmd, check=True, stdout=f, stderr=subprocess.STDOUT,
-                       cwd=REPO)
+                       cwd=REPO, env=env)
+
+
+def run_cpu(cmd, log_path):
+    """Run a child CPU-forced (pure-numpy steps must not block on the
+    tunnel; see _read_lambda_u)."""
+    run(cmd, log_path, env=dict(os.environ, JAX_PLATFORM_NAME="cpu"))
 
 
 def main(argv=None):
@@ -136,11 +142,25 @@ def main(argv=None):
                        - before).pop()
         exp_id = os.path.basename(exp_dir)
 
-        if glob.glob(os.path.join(exp_dir, "generation_results*",
-                                  "metrics.json")):
-            gen_s = 0.0
+        def have_metrics():
+            return bool(glob.glob(os.path.join(exp_dir, "generation_results*",
+                                               "metrics.json")))
+
+        gen_s = 0.0
+        if have_metrics():
             print(f"reusing generation results in {exp_dir}", flush=True)
-        else:
+        elif glob.glob(os.path.join(exp_dir, "generation_results*",
+                                    "generated_sample.h5")):
+            # a prior run generated but crashed before the metrics write:
+            # the W1 pass is pure numpy — recompute CPU-forced, never
+            # touching the (possibly wedged) tunnel
+            print(f"recomputing metrics for existing sample in {exp_dir}",
+                  flush=True)
+            run_cpu([sys.executable, "scripts/sample_mmf.py",
+                     "--dir", args.dir, "--project", "enc", "-id", exp_id,
+                     "-f", args.data_files, "--dir_aoj", args.dir_aoj,
+                     "-n", str(args.gen_jets), "--metrics_only"], log_path)
+        if not have_metrics():
             t0 = time.time()
             run([sys.executable, "scripts/sample_mmf.py",
                  "--dir", args.dir, "--project", "enc", "-id", exp_id,

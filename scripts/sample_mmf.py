@@ -54,6 +54,12 @@ def experiment_configs(argv=None):
                    help="cap batches*timesteps per device program; lower for "
                         "encoders with heavy forwards (pairwise biases) to "
                         "keep single dispatches tunnel-safe")
+    p.add_argument("--metrics_only", action="store_true", default=False,
+                   help="crash-resume: skip generation and (re)compute "
+                        "metrics.json for every existing generation_results* "
+                        "dir that has a generated_sample.h5 but no metrics "
+                        "(a TPU-worker crash between the h5 write and the "
+                        "metrics write otherwise forces a full regeneration)")
     args = p.parse_args(argv)
 
     run_cfg = Config.load(os.path.join(args.dir, args.project, args.experiment_id))
@@ -70,10 +76,20 @@ def experiment_configs(argv=None):
 
 
 def main(argv=None):
-    from multimodal_flows_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
     config, args = experiment_configs(argv)
+
+    if args.metrics_only:
+        # pure-numpy path: force the CPU platform BEFORE any backend init so
+        # a wedged TPU tunnel can never block a crash-resume metrics pass
+        # (JAX_PLATFORM_NAME=cpu alone does not stop the axon plugin from
+        # initializing; jax_platforms does)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from multimodal_flows_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
 
     kind = "MMF"
     for t in config.tags or []:
@@ -83,18 +99,16 @@ def main(argv=None):
     if kind == "GPT":
         return _sample_gpt(config, args)
 
+    if args.metrics_only:
+        return _metrics_only(config)
+
     system = build_system(config, kind)
     trainer = Trainer(system, config, mesh="auto")
     params = trainer.load_for_inference(name=args.checkpoint)
     log.info(f"loaded checkpoint {args.checkpoint!r} from {config.experiment_dir}")
 
     # empirical multiplicity masks from the test file
-    aoj = AspenOpenJets(data_dir=config.dir_aoj, data_files=config.data_files)
-    test, _ = aoj(num_jets=config.num_jets,
-                  max_num_particles=config.max_num_particles,
-                  features={"continuous": config.continuous_features,
-                            "discrete": config.discrete_features},
-                  pt_order=True, padding="zeros")
+    test = _load_test(config)
     pad_masks = sample_from_empirical_masks(
         test.mask, config.num_jets, config.max_num_particles, seed=config.seed)
 
@@ -108,37 +122,12 @@ def main(argv=None):
     )
 
     # W1 closure metrics vs the test sample (reference `utils/metrics.py:36-67`)
-    import json
-
-    from multimodal_flows_tpu.utils.metrics import wasserstein_flavor
-
-    from multimodal_flows_tpu.utils.metrics import wasserstein1d
-
     for res in results:
         res_dir = os.path.join(config.experiment_dir, f"generation_results{res.tag}")
         point = {"jets_per_sec": res.jets_per_sec,
                  "num_timesteps": res.num_timesteps,
                  "temperature": res.temperature}
-        if res.sample.discrete is not None:
-            w1 = wasserstein_flavor(res.sample, test,
-                                    path=os.path.join(res_dir, "w1_flavor.txt"))
-            point["w1_flavor"] = w1
-            log.info(f"{res.tag}: W1(multiplicity)={w1['multiplicity']:.4f}")
-        if res.sample.continuous is not None:
-            # kinematic closure for continuous(-only) systems: per-feature
-            # W1 over real particles, physical units
-            g = np.asarray(res.sample.continuous)
-            r = np.asarray(test.continuous)
-            gm = np.asarray(res.sample.mask)[..., 0] > 0
-            rm = np.asarray(test.mask)[..., 0] > 0
-            names = config.continuous_features or ["pt", "eta_rel", "phi_rel"]
-            point["w1_kinematics"] = {
-                name: wasserstein1d(g[..., i][gm], r[..., i][rm])
-                for i, name in enumerate(names)}
-            log.info(f"{res.tag}: W1(kin)=" + str(
-                {k: round(v, 4) for k, v in point['w1_kinematics'].items()}))
-        with open(os.path.join(res_dir, "metrics.json"), "w") as f:
-            json.dump(point, f, indent=1)
+        _write_point_metrics(res_dir, res.sample, test, config, point, tag=res.tag)
 
     if args.make_plots:
         from multimodal_flows_tpu.utils.jet_features import JetFeatures
@@ -153,6 +142,86 @@ def main(argv=None):
             plot_kin_feats(gen_feats, test_feats, path=os.path.join(res_dir, "plots_kin.png"))
             flavor_kinematics(gen_feats, test_feats,
                               path=os.path.join(res_dir, "flavor_kinematics.png"))
+
+
+def _load_test(config):
+    """Test split used both for empirical multiplicity masks and as the W1
+    reference sample (reference `sample_mmf.py:57-76`)."""
+    aoj = AspenOpenJets(data_dir=config.dir_aoj, data_files=config.data_files)
+    test, _ = aoj(num_jets=config.num_jets,
+                  max_num_particles=config.max_num_particles,
+                  features={"continuous": config.continuous_features,
+                            "discrete": config.discrete_features},
+                  pt_order=True, padding="zeros")
+    return test
+
+
+def _write_point_metrics(res_dir, sample, test, config, point, tag=""):
+    """Compute + persist one sweep point's W1 closure metrics (numpy-only;
+    safe to run CPU-forced when resuming after a TPU-worker crash)."""
+    import json
+
+    from multimodal_flows_tpu.utils.metrics import wasserstein1d, wasserstein_flavor
+
+    if sample.discrete is not None and test.discrete is not None:
+        w1 = wasserstein_flavor(sample, test,
+                                path=os.path.join(res_dir, "w1_flavor.txt"))
+        point["w1_flavor"] = w1
+        log.info(f"{tag}: W1(multiplicity)={w1['multiplicity']:.4f}")
+    if sample.continuous is not None and test.continuous is not None:
+        # kinematic closure for continuous(-only) systems: per-feature
+        # W1 over real particles, physical units
+        g = np.asarray(sample.continuous)
+        r = np.asarray(test.continuous)
+        gm = np.asarray(sample.mask)[..., 0] > 0
+        rm = np.asarray(test.mask)[..., 0] > 0
+        names = config.continuous_features or ["pt", "eta_rel", "phi_rel"]
+        point["w1_kinematics"] = {
+            name: wasserstein1d(g[..., i][gm], r[..., i][rm])
+            for i, name in enumerate(names)}
+        log.info(f"{tag}: W1(kin)=" + str(
+            {k: round(v, 4) for k, v in point['w1_kinematics'].items()}))
+    with open(os.path.join(res_dir, "metrics.json"), "w") as f:
+        json.dump(point, f, indent=1)
+
+
+def _metrics_only(config):
+    """Crash-resume: recompute metrics.json for existing generation dirs.
+
+    Generation and metrics are separate failure domains — the h5 write
+    lands before the (CPU) W1 pass, and a tunnel crash in between must not
+    force regenerating 10k+ jets.  Parses steps/temperature back out of the
+    directory tag.  Runs no device code; pure numpy."""
+    import glob as _glob
+    import re
+
+    from multimodal_flows_tpu.data.state import MultiModal
+
+    test = _load_test(config)
+    done = 0
+    for res_dir in sorted(_glob.glob(
+            os.path.join(config.experiment_dir, "generation_results*"))):
+        h5 = os.path.join(res_dir, "generated_sample.h5")
+        if not os.path.exists(h5):
+            continue
+        if os.path.exists(os.path.join(res_dir, "metrics.json")):
+            continue
+        m = re.search(r"steps_(\d+)_temp_([\d.]+)", os.path.basename(res_dir))
+        point = {"jets_per_sec": None,  # unknown: generation ran in a prior process
+                 "num_timesteps": int(m.group(1)) if m else None,
+                 "temperature": float(m.group(2)) if m else None}
+        try:
+            sample = MultiModal.load_from(h5)
+        except OSError as e:
+            # h5 truncated by a crash mid-write (pre-atomic-save artifact):
+            # set it aside so the caller regenerates instead of looping here
+            log.info(f"corrupt sample {h5} ({e}); renaming to .corrupt")
+            os.replace(h5, h5 + ".corrupt")
+            continue
+        _write_point_metrics(res_dir, sample, test, config, point,
+                             tag=os.path.basename(res_dir))
+        done += 1
+    log.info(f"metrics_only: wrote metrics.json for {done} generation dir(s)")
 
 
 def _sample_gpt(config, args):

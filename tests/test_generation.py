@@ -1,6 +1,7 @@
 """Generation-system + CLI end-to-end tests (reference parity:
 `scripts/sample_mmf.py`, `utils/callbacks.py:14-62`)."""
 
+import json
 import os
 import sys
 
@@ -106,6 +107,22 @@ def test_cli_train_then_sample(tmp_path):
     assert sample.continuous.shape == (24, 8, 3)
     m = sample.mask[..., 0] > 0
     assert np.all(sample.discrete[..., 0][~m] == 0)
+
+    # --metrics_only crash-resume: drop metrics.json (as if the process died
+    # between the h5 write and the W1 pass) and recompute it from the h5
+    mpath = os.path.join(proj_dir, exp_id, res_dirs[0], "metrics.json")
+    assert os.path.exists(mpath)
+    first = json.load(open(mpath))
+    os.remove(mpath)
+    sample_mmf.main([
+        "--dir", exp_dir, "--experiment_id", exp_id,
+        "--data_files", "RunG_batch0.h5",
+        "--num_jets", "24", "--metrics_only",
+    ])
+    redone = json.load(open(mpath))
+    assert redone["num_timesteps"] == 4 and redone["temperature"] == 1.0
+    assert redone["jets_per_sec"] is None  # generation ran in a prior process
+    assert redone["w1_flavor"] == pytest.approx(first["w1_flavor"])
 
 
 @pytest.mark.slow

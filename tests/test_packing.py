@@ -192,6 +192,49 @@ def test_generate_packed_end_to_end():
     assert (np.asarray(s.continuous)[~real] == 0).all()
 
 
+def test_rebalanced_batch():
+    """Pad-tail rebalance: the last scan batch must not be mostly empty
+    rows riding the full forward."""
+    from multimodal_flows_tpu.sampling.generator import _rebalanced_batch
+
+    # the bench shape: 674 rows at B=256 -> 3 batches of 232 (696 total,
+    # not 768)
+    assert _rebalanced_batch(674, 256) == 232
+    assert 3 * 232 >= 674
+    # even split already: no change
+    assert _rebalanced_batch(512, 256) == 256
+    # saving exists (64 rows) but is <5% of the padded total: keep the
+    # round compile signature
+    assert _rebalanced_batch(1976, 256) == 256
+    # single batch: untouched (the _snap_batch ladder owns that case)
+    assert _rebalanced_batch(100, 256) == 256
+    # production scale: ceil(32900/129)=256 -> unchanged
+    assert _rebalanced_batch(32900, 256) == 256
+    # mesh granularity: balanced size stays divisible by the data axis
+    assert _rebalanced_batch(674, 256, gran=32) % 32 == 0
+
+
+def test_generate_packed_rebalanced_end_to_end():
+    """Packed generation through a rebalance-triggering row count still
+    returns every jet with intact masks (the rebalanced batch covers all
+    rows; nothing is dropped at the n_rows cut)."""
+    cfg = _mk_cfg()
+    system = MMF(cfg)
+    params = system.init_params(jax.random.PRNGKey(0))
+    # all jets at full width -> one row each -> n_rows = N = 130;
+    # B=128 -> 2 batches, rebalanced to 72
+    N = 130
+    mult = np.full(N, cfg.max_num_particles)
+    masks = _first_n_masks(mult, cfg.max_num_particles)
+    res = generate_packed(system, params, masks, num_timesteps=2,
+                          pack_width=cfg.max_num_particles, batch_size=128,
+                          seed=0)
+    s = res.sample
+    assert s.continuous.shape == (N, cfg.max_num_particles, 3)
+    np.testing.assert_array_equal(np.asarray(s.mask), masks)
+    assert np.isfinite(np.asarray(s.continuous)).all()
+
+
 def test_generate_packed_falls_back_for_pos_emb():
     """use_pos_emb models can't pack; the driver falls back to bucketed."""
     cfg = _mk_cfg(model="FlavorFormer", use_pos_emb=True)
