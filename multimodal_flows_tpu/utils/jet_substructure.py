@@ -32,7 +32,26 @@ def _find_lib() -> Optional[str]:
     for c in candidates:
         if c and os.path.exists(c):
             return c
-    return None
+    return _try_build(os.path.join(here, "native"))
+
+
+def _try_build(native_dir: str) -> Optional[str]:
+    """Build libjetkit.so from source on first use (the .so is a build
+    artifact, gitignored; a fresh checkout has only jetkit.cpp).  The
+    compile is ~2 s; failures (no compiler, read-only tree) fall back to
+    the numpy path silently."""
+    src = os.path.join(native_dir, "jetkit.cpp")
+    out = os.path.join(native_dir, "libjetkit.so")
+    if not os.path.exists(src):
+        return None
+    import subprocess
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir], check=True, timeout=120,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except Exception:
+        return None
+    return out if os.path.exists(out) else None
 
 
 def load_library() -> Optional[ctypes.CDLL]:
