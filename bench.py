@@ -9,6 +9,12 @@ per dispatch (model forward + telegraph rates + censored-Poisson tau-leap
 + Euler ODE per timestep) — on an AOJ-like multiplicity profile
 (Poisson(40) clipped to [3, 150]) and prints ONE JSON line.
 
+Operating point W=128 / B=128 from the round-3 pack ablation
+(PROFILE_r03.md): B=128 reproducibly beats B=256 by ~7% at packed
+T=128 rows (76.7 vs 71.8 jets/s on the 1024-jet grid) — the r2
+"batch 256" sweet spot was measured on unpacked T<=64 buckets and
+does not carry over.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor
 is an analytic estimate of the reference stack (PyTorch fp32 + per-step
 Python dispatch, everything padded to D=150) on one H100: ~1.8 GFLOP per
@@ -32,7 +38,7 @@ import time
 H100_REF_JETS_PER_SEC = 110.0   # documented estimate, fixed across rounds
 MEASURED_CHIP_TFLOPS = 84.7     # bf16 matmul ceiling of this tunnel chip
 NUM_TIMESTEPS = 1000
-BATCH_SIZE = 256
+BATCH_SIZE = 128
 NUM_JETS = 2048
 PACK_WIDTH = 128
 
@@ -121,7 +127,7 @@ def main():
     achieved_tflops = total_flops / best.wall_time_s / 1e12 / n_chips
 
     print(json.dumps({
-        "metric": "sampled jets/sec/chip @1000 ODE steps (ParticleFormer MMF, AOJ-like multiplicity, batch 256, packed T=128)",
+        "metric": "sampled jets/sec/chip @1000 ODE steps (ParticleFormer MMF, AOJ-like multiplicity, batch 128, packed T=128)",
         "value": round(jets_per_sec_per_chip, 2),
         "unit": "jets/s/chip",
         "vs_baseline": round(jets_per_sec_per_chip / H100_REF_JETS_PER_SEC, 3),
