@@ -464,6 +464,13 @@ def generate_packed(
     # programs stay in the tunnel-safe ~30-90 s range
     row_cap = max(1_000, max_dispatch_steps * 48 // pack_width)
 
+    # measured per-row optimum for packed rows (PROFILE_r03 ablation at
+    # W=128): step cost per padded row is flat for B in [88, 128] and
+    # degrades above ~176 (B=256 is ~7% slower, B=384 ~35%), so cap the
+    # packed dispatch batch at 128.  The caller's batch_size still governs
+    # the bucketed fallback paths (pairwise models, oversized jets).
+    packed_bs = min(batch_size, 128)
+
     sample_rows = None
     if n_rows > 0:
         row_mask, row_seg = _build_packed_rows(pad_masks, row_of, offset_of,
@@ -472,7 +479,7 @@ def generate_packed(
             system, params, row_mask, row_seg,
             num_timesteps=num_timesteps, temperature=temperature,
             top_k=top_k, top_p=top_p, use_final_max_rates=use_final_max_rates,
-            batch_size=batch_size, seed=seed, mesh=mesh,
+            batch_size=packed_bs, seed=seed, mesh=mesh,
             max_dispatch_steps=row_cap)
 
     if sample_rows is not None:
