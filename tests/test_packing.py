@@ -277,3 +277,30 @@ def test_generate_packed_falls_back_for_pairwise(monkeypatch):
                                   batch_size=4, seed=0)
         assert len(calls) == n_before + 1, f"{cfg.model} did not fall back"
         assert res.sample.mask.shape == (4, cfg.max_num_particles, 1)
+
+
+def test_generate_packed_caps_dispatch_batch_at_128(monkeypatch):
+    """The packed-row dispatch batch is capped at the measured per-row
+    optimum (PROFILE_r03: flat for B in [88,128], ~7% worse at 256) even
+    when the caller asks for more; the bucketed fallback keeps the
+    caller's batch_size."""
+    from multimodal_flows_tpu.sampling import generator as gen
+
+    cfg = _mk_cfg()
+    system = MMF(cfg)
+    params = system.init_params(jax.random.PRNGKey(0))
+
+    seen = {}
+    real = gen._run_packed_rows
+
+    def spy(*args, **kwargs):
+        seen["batch_size"] = kwargs["batch_size"]
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(gen, "_run_packed_rows", spy)
+    mult = np.full(8, cfg.max_num_particles)
+    masks = _first_n_masks(mult, cfg.max_num_particles)
+    gen.generate_packed(system, params, masks, num_timesteps=2,
+                        pack_width=cfg.max_num_particles, batch_size=256,
+                        seed=0)
+    assert seen["batch_size"] <= 128
