@@ -470,6 +470,13 @@ def generate_packed(
     # packed dispatch batch at 128.  The caller's batch_size still governs
     # the bucketed fallback paths (pairwise models, oversized jets).
     packed_bs = min(batch_size, 128)
+    if mesh is not None:
+        from multimodal_flows_tpu.parallel.mesh import data_axis_size
+
+        # the cap is a perf knob, not a correctness bound: keep the batch
+        # a positive multiple of the data axis so sharding still divides
+        n_data = data_axis_size(mesh)
+        packed_bs = min(max(packed_bs // n_data * n_data, n_data), batch_size)
 
     sample_rows = None
     if n_rows > 0:
