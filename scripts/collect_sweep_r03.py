@@ -46,9 +46,10 @@ def main(argv=None):
     for pt in points:
         m = pt["metrics"]
         w = m.get("w1_flavor", {})
+        wall_s = (100_000 / m['jets_per_sec']) if m['jets_per_sec'] else float('nan')
         rows.append(
             f"| {m['temperature']} | {m['num_timesteps']} | "
-            f"{m['jets_per_sec']:.1f} | "
+            f"{m['jets_per_sec']:.1f} | {wall_s:.0f} | "
             f"{w.get('multiplicity', float('nan')):.3f} | "
             f"{w.get('photons', float('nan')):.3f} | "
             f"{w.get('net charge', float('nan')):.3f} | "
@@ -62,7 +63,8 @@ The reference's published workload (README:41, `sample_mmf.py:29-31,
 temperature {{0.8, 1.0, 1.2}}**, run through the flag-compatible
 `scripts/sample_mmf.py` CLI against the round-3 flagship experiment
 (`closure_r03/`, reference `train_mmf.py:42-52` config trained on 291k
-synthetic jets), with the packed sampler — crash-free, one CLI
+synthetic jets), with the packed sampler (wall-clock per point derived
+as 100k / jets_per_sec — VERDICT r2 #4) — crash-free, one CLI
 invocation per temperature (3 points each; the CLI accepts the full
 grid in one command, the split bounds a tunnel-crash blast radius).
 
@@ -71,8 +73,8 @@ Each point wrote `generation_results_*/generated_sample.h5` +
 W1 distances are generated-vs-test over the 16 flavor-multiplicity
 observables (reference `utils/metrics.py:36-67`).
 
-| T | steps | jets/s | W1 mult | W1 photons | W1 net charge | W1 worst | sample.h5 |
-|---|---|---|---|---|---|---|---|
+| T | steps | jets/s | wall s | W1 mult | W1 photons | W1 net charge | W1 worst | sample.h5 |
+|---|---|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
 Points collected: {len(points)} / 9.
