@@ -62,9 +62,11 @@ The reference's published workload (README:41, `sample_mmf.py:29-31,
 153-164`): **100,000 jets x num_timesteps {{100, 500, 1000}} x
 temperature {{0.8, 1.0, 1.2}}**, run through the flag-compatible
 `scripts/sample_mmf.py` CLI against the round-3 flagship experiment
-(`closure_r03/`, reference `train_mmf.py:42-52` config trained on 291k
-synthetic jets), with the packed sampler (wall-clock per point derived
-as 100k / jets_per_sec — VERDICT r2 #4) — crash-free, one CLI
+(`closure_r03/`, reference `train_mmf.py:42-52` config trained 300
+epochs on 291k synthetic jets; sampled from the end-of-cosine EMA
+`last` slot per the CLOSURE_r03 checkpoint ablation), with the packed
+sampler at the capped B<=128 operating point (wall-clock per point
+derived as 100k / jets_per_sec — VERDICT r2 #4) — crash-free, one CLI
 invocation per temperature (3 points each; the CLI accepts the full
 grid in one command, the split bounds a tunnel-crash blast radius).
 
