@@ -38,20 +38,39 @@ def _find_lib() -> Optional[str]:
 def _try_build(native_dir: str) -> Optional[str]:
     """Build libjetkit.so from source on first use (the .so is a build
     artifact, gitignored; a fresh checkout has only jetkit.cpp).  The
-    compile is ~2 s; failures (no compiler, read-only tree) fall back to
-    the numpy path silently."""
+    compile is ~2 s; on failure (no compiler, read-only tree) a one-time
+    warning is emitted and the pure-numpy path takes over — that path's
+    per-jet O(n^3) ECF loop is orders of magnitude slower, so a silent
+    fallback would make big closure runs look hung (advisor r3)."""
     src = os.path.join(native_dir, "jetkit.cpp")
     out = os.path.join(native_dir, "libjetkit.so")
     if not os.path.exists(src):
+        _warn_fallback(f"{src} not found")
         return None
     import subprocess
     try:
-        subprocess.run(
+        proc = subprocess.run(
             ["make", "-C", native_dir], check=True, timeout=120,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    except Exception:
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+    except Exception as e:
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = ": " + e.stderr.decode(errors="replace").strip()[-200:]
+        _warn_fallback(f"`make -C {native_dir}` failed ({e.__class__.__name__}{detail})")
         return None
-    return out if os.path.exists(out) else None
+    if not os.path.exists(out):
+        _warn_fallback(f"build succeeded but {out} is missing")
+        return None
+    return out
+
+
+def _warn_fallback(reason: str) -> None:
+    import warnings
+
+    warnings.warn(
+        f"native jetkit build unavailable ({reason}); substructure metrics "
+        "fall back to the pure-numpy path, which is orders of magnitude "
+        "slower on large jet samples", RuntimeWarning, stacklevel=3)
 
 
 def load_library() -> Optional[ctypes.CDLL]:

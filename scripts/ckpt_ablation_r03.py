@@ -37,7 +37,7 @@ test = MultiModal.load_from(os.path.join(workdir, "featurized_test.h5"))
 masks = sample_from_empirical_masks(np.asarray(test.mask), 50_000,
                                     cfg.max_num_particles, seed=3)
 meta = json.load(open(os.path.join(workdir, "featurized_meta.json")))
-for name in ["last", "best_mse", "best_ce"]:
+for name in ["last", "best", "best_mse", "best_ce"]:
     params = trainer.load_for_inference(name)
     res = generate_packed(system, params, masks, num_timesteps=500,
                           batch_size=256, seed=7, metadata=meta)

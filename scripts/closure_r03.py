@@ -58,13 +58,14 @@ def main(argv=None):
                         "costs ~2 min per save on this 1-vCPU host, so with "
                         "~30 s epochs a dense cadence dominates wall time")
     p.add_argument("--save_top_k", type=int, default=2)
-    p.add_argument("--checkpoint", default="best",
-                   help="checkpoint slot to sample from.  Measured on the "
-                        "300-epoch run: 'last' (EMA at the end of the cosine "
-                        "decay) reached W1(jet pT) 0.82 while the "
-                        "val-loss-ranked 'best' gave 15.6 and 'best_mse' 4.4 "
-                        "— the weighted CE+MSE val loss is a poor proxy for "
-                        "physics closure at 25-epoch checkpoint cadence")
+    p.add_argument("--checkpoint", default="last",
+                   help="checkpoint slot to sample from.  Default 'last' — "
+                        "measured on the 300-epoch run: 'last' (EMA at the "
+                        "end of the cosine decay) reached W1(jet pT) 0.82 "
+                        "while the val-loss-ranked 'best' gave 15.6 and "
+                        "'best_mse' 4.4 — the weighted CE+MSE val loss is a "
+                        "poor proxy for physics closure at 25-epoch "
+                        "checkpoint cadence")
     args = p.parse_args(argv)
 
     import h5py
@@ -238,12 +239,14 @@ EMA weights from the `{args.checkpoint}` checkpoint.
 
 Progression on W1(jet pT): 24.7 (round 2: 2.56M params, 80 epochs, 108k
 jets, CLOSURE_r02.md) -> 7.56 (round 3a: reference recipe, 150 epochs,
-val-loss `best` checkpoint) -> this run.  Checkpoint-slot ablation on
-this 300-epoch run (50k jets @500 steps each): `last` (EMA at the end
-of the cosine decay) W1(pt) 0.82 / W1(mass) 0.22; `best_mse` 4.4 /
-0.99; val-loss `best` 15.6 / 3.1 — the weighted CE+MSE validation loss
-is a poor proxy for hard-end physics closure at 25-epoch checkpoint
-cadence, while the fully-decayed EMA closes the 400 GeV turn-on.
+val-loss `best` checkpoint) -> this run ({args.epochs} epochs, `{args.checkpoint}`
+slot).  For reference, the round-3 checkpoint-slot ablation on the
+300-epoch flagship (`scripts/ckpt_ablation_r03.py`, 50k jets @500 steps
+each) measured: `last` (EMA at the end of the cosine decay) W1(pt) 0.82 /
+W1(mass) 0.22; `best_mse` 4.4 / 0.99; val-loss `best` 15.6 / 3.1 — the
+weighted CE+MSE validation loss is a poor proxy for hard-end physics
+closure at sparse checkpoint cadence, while the fully-decayed EMA closes
+the 400 GeV turn-on.
 
 ## W1 closure (generated vs held-out test, physical units)
 
