@@ -112,6 +112,21 @@ class Config:
                                                  # (mean mult ~40); >128 tail stays
                                                  # at D (T>128 is tiling-hostile on
                                                  # v5e either way, PROFILE_r02.md)
+    packed_training: bool = False                # multi-jet packed training: jets
+                                                 # share pack_width-token rows behind
+                                                 # a block-diagonal segment mask; each
+                                                 # jet keeps its own t and per-jet
+                                                 # loss normalization (exact per-jet
+                                                 # parity, tests/test_packed_training)
+    pack_width: int = 128                        # packed row width (the measured MXU
+                                                 # sweet spot, PROFILE_r03); jets
+                                                 # wider than this train as singleton
+                                                 # rows at their native width
+    pair_chunk: int = 16                         # query-row chunk for the Lund
+                                                 # pair-MLP (KinFormer use_pairwise):
+                                                 # bounds the (B, chunk, D, E) pair
+                                                 # hiddens so packed W=128 rows fit
+                                                 # HBM; 0 = unchunked
     fsdp: bool = False                           # shard params + optimizer state
                                                  # over the data axis (ZeRO-3-style)
     tensor_parallel: int = 1                     # model-axis size of a 2-D

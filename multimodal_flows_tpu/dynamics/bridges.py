@@ -27,8 +27,11 @@ Array = jax.Array
 
 
 def _bcast_time(t: Array, ndim: int) -> Array:
-    """(B,) -> (B, 1, ..., 1) with `ndim` total dims."""
-    return t.reshape(t.shape[0], *([1] * (ndim - 1)))
+    """Right-pad time with singleton dims: (B,) -> (B, 1, ..., 1);
+    per-token (B, D) -> (B, D, 1, ...).  Packed multi-jet training rows
+    carry per-token time (each jet draws its own t), so bridge math must
+    broadcast either shape."""
+    return t.reshape(t.shape + (1,) * (ndim - t.ndim))
 
 
 class UniformFlow:
@@ -92,13 +95,13 @@ class RandomTelegraphBridge:
 
     def conditional_probability(self, t_in, t_out, k_in: Array, k_out: Array) -> Array:
         """P(x(t_out) = k_out | x(t_in) = k_in); times broadcast over batch
-        (reference `MJB.py:237-257`)."""
-        B = k_in.shape[0] if k_in.ndim else k_out.shape[0]
-        t_in = jnp.broadcast_to(jnp.asarray(t_in, jnp.float32), (B,))
-        t_out = jnp.broadcast_to(jnp.asarray(t_out, jnp.float32), (B,))
-        wt = self.thermostat.w_ts(t_in, t_out)  # (B,)
+        — scalar, per-jet (B,), or per-token (B, D) for packed training
+        rows (reference `MJB.py:237-257`)."""
+        t_in = jnp.asarray(t_in, jnp.float32)
+        t_out = jnp.asarray(t_out, jnp.float32)
+        wt = self.thermostat.w_ts(t_in, t_out)  # broadcast(t_in, t_out) shape
         kron = (k_out == k_in).astype(jnp.float32)
-        wt = wt.reshape((B,) + (1,) * (kron.ndim - 1))
+        wt = _bcast_time(wt, kron.ndim)
         return 1.0 / self.vocab_size + wt * (kron - 1.0 / self.vocab_size)
 
     def transition_probability(self, t: Array, k0: Array, k1: Array) -> Array:

@@ -75,15 +75,28 @@ class LayerNorm(nn.Module):
 
 def timestep_embedding(timesteps: Array, embedding_dim: int, max_positions: int = 10000) -> Array:
     """Sinusoidal transformer time embedding
-    (reference `utils/models.py:62-75`)."""
-    assert timesteps.ndim == 1
+    (reference `utils/models.py:62-75`).
+
+    Accepts any leading shape: (B,) per-jet time -> (B, E); (B, T)
+    per-token time (packed multi-jet training rows) -> (B, T, E).
+    """
     half_dim = embedding_dim // 2
     emb = math.log(max_positions) / (half_dim - 1)
     freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
-    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
-    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+    args = timesteps.astype(jnp.float32)[..., None] * freqs
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
     if embedding_dim % 2 == 1:
-        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+        emb = jnp.pad(emb, [(0, 0)] * (emb.ndim - 1) + [(0, 1)])
+    return emb
+
+
+def time_token_embedding(time: Array, embedding_dim: int, dtype=jnp.float32) -> Array:
+    """Per-token time embedding for set encoders: per-jet (B,) time
+    broadcasts as (B, 1, E); per-token (B, T) time (packed multi-jet rows,
+    each jet carrying its own t) embeds as (B, T, E)."""
+    emb = timestep_embedding(time, embedding_dim).astype(dtype)
+    if time.ndim == 1:
+        return emb[:, None, :]
     return emb
 
 

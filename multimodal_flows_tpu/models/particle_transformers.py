@@ -34,7 +34,7 @@ from multimodal_flows_tpu.models.blocks import (
     LayerNorm,
     key_mask_bias,
     pair_mask_bias,
-    timestep_embedding,
+    time_token_embedding,
 )
 
 Array = jax.Array
@@ -97,7 +97,17 @@ class _Head(nn.Module):
 
 class _CoOccurrenceBias(nn.Module):
     """Symmetric token co-occurrence attention bias via triangle-number pair
-    encoding (reference `ParticleTransformers.py:124-133`)."""
+    encoding (reference `ParticleTransformers.py:124-133`).
+
+    The reference gathers the pair embedding into a (B, D, D, E) tensor and
+    THEN projects to heads — at packed row widths (W=128, E=256) that
+    intermediate alone is ~2 GB and breached HBM on a 16 GB chip (the
+    round-3 reason pairwise models were locked out of the packed sampler).
+    Gather and linear map commute, so here the (n_pairs, E) table is
+    projected FIRST — n_pairs = V(V+1)/2 = 45 rows — and the (B, D, D, H)
+    bias is gathered directly (H=4: ~64x smaller).  Same parameters, same
+    math, no pair-width HBM cliff.
+    """
 
     vocab_size: int
     n_embd: int
@@ -111,10 +121,12 @@ class _CoOccurrenceBias(nn.Module):
         hi = jnp.maximum(i, j)
         pair_idx = (hi * (hi + 1)) // 2 + lo  # (B, D, D)
         n_pairs = (self.vocab_size * (self.vocab_size + 1)) // 2
-        emb = nn.Embed(n_pairs, self.n_embd, embedding_init=EMBED_INIT,
-                       dtype=self.dtype, name="wue")(pair_idx)       # (B,D,D,E)
-        bias = nn.Dense(self.n_head, kernel_init=DENSE_INIT, dtype=self.dtype,
-                        name="wue_proj")(emb)                        # (B,D,D,H)
+        table = nn.Embed(n_pairs, self.n_embd, embedding_init=EMBED_INIT,
+                         dtype=self.dtype, name="wue")(
+            jnp.arange(n_pairs, dtype=jnp.int32))                    # (P, E)
+        table = nn.Dense(self.n_head, kernel_init=DENSE_INIT, dtype=self.dtype,
+                         name="wue_proj")(table)                     # (P, H)
+        bias = table[pair_idx]                                       # (B,D,D,H)
         return bias.transpose(0, 3, 1, 2).astype(jnp.float32)        # (B,H,D,D)
 
 
@@ -131,7 +143,9 @@ class ParticleFormer(nn.Module):
 
     @nn.compact
     def __call__(self, state: MultiModal, deterministic: bool = True,
-                 segments: Optional[Array] = None):
+                 segments: Optional[Array] = None,
+                 num_segments: Optional[int] = None):  # num_segments: EPiC-only
+
         cfg = self.config
         dt = _dtype(cfg)
         half = cfg.n_embd // 2
@@ -154,7 +168,7 @@ class ParticleFormer(nn.Module):
             key_mask = key_mask_bias(state.mask)
             attn_bias = None
 
-        time_emb = timestep_embedding(state.time, half).astype(dt)[:, None, :]  # (B,1,half)
+        time_emb = time_token_embedding(state.time, half, dt)  # (B,1|T,half)
 
         # continuous stream
         x = _EmbedMLP(cfg.n_embd, half, use_bias=cfg.bias, dtype=dt, name="wxe")(
@@ -213,7 +227,9 @@ class FusedParticleFormer(nn.Module):
 
     @nn.compact
     def __call__(self, state: MultiModal, deterministic: bool = True,
-                 segments: Optional[Array] = None):
+                 segments: Optional[Array] = None,
+                 num_segments: Optional[int] = None):  # num_segments: EPiC-only
+
         cfg = self.config
         dt = _dtype(cfg)
         half = cfg.n_embd // 2
@@ -229,7 +245,7 @@ class FusedParticleFormer(nn.Module):
         y = LayerNorm(dtype=dt, name="ln1_y")(y)
 
         z = jnp.concatenate([x, y], axis=-1)
-        time_emb = timestep_embedding(state.time, cfg.n_embd).astype(dt)[:, None, :]
+        time_emb = time_token_embedding(state.time, cfg.n_embd, dt)
 
         z = nn.Dropout(cfg.dropout, deterministic=deterministic)(z + time_emb)
         z_skip = z
@@ -257,7 +273,9 @@ class FlavorFormer(nn.Module):
 
     @nn.compact
     def __call__(self, state: MultiModal, deterministic: bool = True,
-                 segments: Optional[Array] = None):
+                 segments: Optional[Array] = None,
+                 num_segments: Optional[int] = None):  # num_segments: EPiC-only
+
         cfg = self.config
         dt = _dtype(cfg)
         if segments is not None and cfg.use_pos_emb:
@@ -283,7 +301,7 @@ class FlavorFormer(nn.Module):
                         use_bias=cfg.bias, dtype=dt, name="wte")(state.discrete[..., 0])
         tok = LayerNorm(dtype=dt, name="ln1")(tok)
 
-        time_emb = timestep_embedding(state.time, cfg.n_embd).astype(dt)[:, None, :]
+        time_emb = time_token_embedding(state.time, cfg.n_embd, dt)
 
         if cfg.use_pos_emb:
             # index by the actual (possibly bucket-truncated) width: slots
@@ -350,7 +368,9 @@ class KinFormer(nn.Module):
 
     @nn.compact
     def __call__(self, state: MultiModal, deterministic: bool = True,
-                 segments: Optional[Array] = None):
+                 segments: Optional[Array] = None,
+                 num_segments: Optional[int] = None):  # num_segments: EPiC-only
+
         cfg = self.config
         dt = _dtype(cfg)
         if segments is not None and cfg.use_pos_emb:
@@ -368,16 +388,38 @@ class KinFormer(nn.Module):
             mu = meta.get("mean", [0.0] * cfg.dim_continuous)
             sig = meta.get("std", [1.0] * cfg.dim_continuous)
             U = lund_observables(state, mu, sig)                       # (B,D,D,2)
-            u = nn.Dense(cfg.n_embd, kernel_init=DENSE_INIT, dtype=dt, name="wue_fc")(U.astype(dt))
-            u = nn.gelu(u, approximate=False)
-            u = nn.LayerNorm(dtype=dt, name="wue_ln")(u)
-            u = 0.5 * (u + u.transpose(0, 2, 1, 3))                    # symmetrize
-            u = nn.Dense(cfg.n_embd, use_bias=cfg.bias, kernel_init=DENSE_INIT, dtype=dt,
-                         name="wue_proj_fc")(u)
-            u = nn.gelu(u, approximate=False)
-            u = nn.Dense(cfg.n_head, use_bias=cfg.bias, kernel_init=DENSE_INIT, dtype=dt,
-                         name="wue_proj_out")(u)                       # (B,D,D,H)
-            u = 0.5 * (u + u.transpose(0, 2, 1, 3))
+            # pair-MLP in query-row chunks: the (B, D, D, E) hidden tensors
+            # of the unchunked form are ~2 GB at packed widths (W=128,
+            # E=256) and breached HBM on a 16 GB chip (the round-3 reason
+            # pairwise models were locked out of the packed sampler); a
+            # chunk of rows keeps peak pair-hidden memory at chunk/D of
+            # that, while the (B,D,D,2) input and (B,D,D,H) output stay
+            # small (H=4).  Exactness: the reference symmetrizes
+            # 0.5*(f(U) + f(U)^T) (`ParticleTransformers.py:375-377`);
+            # per-pair elementwise f means row i of f(U)^T is f(U^T row i),
+            # so each chunk computes BOTH orientations and averages —
+            # bit-identical to the unchunked symmetrize.  The second
+            # symmetrize (`:392-400`) is then the identity: g(u_sym) is
+            # bitwise symmetric because fp addition is commutative.
+            fc = nn.Dense(cfg.n_embd, kernel_init=DENSE_INIT, dtype=dt, name="wue_fc")
+            ln = nn.LayerNorm(dtype=dt, name="wue_ln")
+            pfc = nn.Dense(cfg.n_embd, use_bias=cfg.bias, kernel_init=DENSE_INIT,
+                           dtype=dt, name="wue_proj_fc")
+            pout = nn.Dense(cfg.n_head, use_bias=cfg.bias, kernel_init=DENSE_INIT,
+                            dtype=dt, name="wue_proj_out")
+
+            def stage1(v):
+                return ln(nn.gelu(fc(v), approximate=False))
+
+            D = U.shape[1]
+            c = cfg.pair_chunk if cfg.pair_chunk and cfg.pair_chunk > 0 else D
+            Ut = U.transpose(0, 2, 1, 3)
+            outs = []
+            for a in range(0, D, c):
+                u_sym = 0.5 * (stage1(U[:, a:a + c].astype(dt))
+                               + stage1(Ut[:, a:a + c].astype(dt)))
+                outs.append(pout(nn.gelu(pfc(u_sym), approximate=False)))
+            u = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
             attn_bias = attn_bias + lambda_u * u.transpose(0, 3, 1, 2).astype(jnp.float32)
         elif segments is not None:
             attn_bias = None
@@ -390,7 +432,7 @@ class KinFormer(nn.Module):
             state.continuous.astype(dt))
         x = LayerNorm(dtype=dt, name="ln1")(x)
 
-        time_emb = timestep_embedding(state.time, cfg.n_embd).astype(dt)[:, None, :]
+        time_emb = time_token_embedding(state.time, cfg.n_embd, dt)
 
         if cfg.use_pos_emb:
             pos = jnp.arange(x.shape[1])

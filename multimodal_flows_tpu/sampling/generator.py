@@ -308,103 +308,21 @@ def generate_bucketed(
     )
 
 
-def pack_jets(mult: np.ndarray, width: int = 128):
-    """Best-fit-decreasing bin packing of jet multiplicities into rows of
-    `width` token slots.
-
-    Returns (row_of (N,), offset_of (N,), n_rows): jet i occupies slots
-    [offset_of[i], offset_of[i] + mult[i]) of row row_of[i].  Jets with
-    mult > width get row_of = -1 (unpackable; caller routes them through
-    the unpacked path).
-
-    Packing exists to lift the attention core onto the MXU sweet spot:
-    at T=48 the flagship forward sustains ~30 TF/s vs ~42-46 at T=128
-    (PROFILE_r02), i.e. ~21% lower per-token cost — so 2-4 low-multiplicity
-    jets share one 128-token attention row behind a block-diagonal segment
-    mask instead of each paying its own small-T row.  Replaces the
-    reference's pad-everything-to-150 layout (`utils/tensorclass.py`,
-    `networks/attention.py:68-69`).
-    """
-    mult = np.asarray(mult, np.int64)
-    N = mult.shape[0]
-    row_of = np.full(N, -1, np.int64)
-    offset_of = np.zeros(N, np.int64)
-    order = np.argsort(-mult, kind="stable")
-    # bins indexed by remaining capacity: bins_by_cap[c] = [row ids]
-    bins_by_cap = [[] for _ in range(width + 1)]
-    fill = []  # current fill level per row
-    for j in order:
-        m = int(mult[j])
-        if m > width or m == 0:
-            continue
-        for c in range(m, width + 1):
-            if bins_by_cap[c]:
-                b = bins_by_cap[c].pop()
-                break
-        else:
-            b = len(fill)
-            fill.append(0)
-            c = width
-        row_of[j] = b
-        offset_of[j] = fill[b]
-        fill[b] += m
-        bins_by_cap[c - m].append(b)
-    return row_of, offset_of, len(fill)
+# packing layout math lives in data/packing.py (shared with the packed
+# TRAINING path since round 4); re-exported here under the round-3 names
+from multimodal_flows_tpu.data.packing import (  # noqa: E402
+    build_packed_rows as _build_packed_rows,
+    pack_jets,
+    unpack_rows as _unpack_rows,
+)
 
 
-def _build_packed_rows(pad_masks: np.ndarray, row_of, offset_of, n_rows: int,
-                       width: int):
-    """Masks (R, W, 1) and segment ids (R, W) for the packed layout.
-    Pad slots carry segment -1."""
-    mult = pad_masks[..., 0].sum(axis=1).astype(np.int64)
-    packed = np.where(row_of >= 0)[0]
-    seg = np.full((n_rows, width), -1, np.int32)
-    # per-row segment counter: order jets by (row, offset)
-    order = packed[np.lexsort((offset_of[packed], row_of[packed]))]
-    prev_row = -1
-    seg_id = 0
-    for j in order:
-        r, o, m = int(row_of[j]), int(offset_of[j]), int(mult[j])
-        seg_id = seg_id + 1 if r == prev_row else 0
-        prev_row = r
-        seg[r, o:o + m] = seg_id
-    mask = (seg >= 0).astype(np.int64)[..., None]
-    return mask, seg
-
-
-def _unpack_rows(rows: MultiModal, pad_masks: np.ndarray, row_of, offset_of,
-                 width: int) -> MultiModal:
-    """Scatter packed-row tokens back into the (N, D) padded layout."""
-    N, D = pad_masks.shape[0], pad_masks.shape[1]
-    mult = pad_masks[..., 0].sum(axis=1).astype(np.int64)
-    packed = np.where(row_of >= 0)[0]
-    m = mult[packed]
-    total = int(m.sum())
-    jet_of_tok = np.repeat(np.arange(len(packed)), m)
-    within = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
-    src = (row_of[packed] * width + offset_of[packed])[jet_of_tok] + within
-    dst_row = packed[jet_of_tok]
-
-    def scatter(flat_rows, fill_dtype):
-        out = np.zeros((N, D) + flat_rows.shape[2:], fill_dtype)
-        flat = flat_rows.reshape(-1, *flat_rows.shape[2:])
-        out[dst_row, within] = flat[src]
-        return out
-
-    x = None
-    if rows.continuous is not None:
-        x = scatter(np.asarray(rows.continuous), np.float32)
-    k = None
-    if rows.discrete is not None:
-        k = scatter(np.asarray(rows.discrete), np.int32)
-    return MultiModal(continuous=x, discrete=k,
-                      mask=pad_masks.astype(np.int32))
-
-
-#: encoders whose attention path supports block-diagonal segment masking
-#: (EPiC pools globally over the row, so packing would mix jets)
+#: encoders supporting packed multi-jet rows: transformers via the
+#: block-diagonal segment attention mask; EPiC (round 4) via per-segment
+#: mean+sum pooling (`ops/pooling.py:segment_meansum_pool`), so its global
+#: stream is per-jet and packing never mixes jets
 _PACKABLE_MODELS = ("ParticleFormer", "FusedParticleFormer", "KinFormer",
-                    "FlavorFormer")
+                    "FlavorFormer", "EPiC")
 
 
 def generate_packed(
@@ -439,16 +357,13 @@ def generate_packed(
     mult = pad_masks[..., 0].sum(axis=1)
     first_n = (pad_masks[..., 0].cumsum(axis=1) ==
                np.minimum(np.arange(1, D + 1)[None, :], mult[:, None])).all()
-    # pairwise-bias encoders materialize (B, D, D, n_embd) hidden tensors
-    # (Lund MLP, co-occurrence embed): packing to W=128 inflates those
-    # quadratically vs the ~48-wide buckets — ~2 GB per intermediate at
-    # B=256, several live inside the scanned forward — which breaches HBM
-    # and crashed the TPU worker twice; the attention win cannot cover the
-    # pair-MLP blowup, so these models sample bucketed
-    pairwise = (getattr(cfg, "use_pairwise", False)
-                or getattr(cfg, "use_coocurrence", False))
+    # pairwise-bias encoders joined the packed path in round 4: the
+    # co-occurrence bias projects its 45-row pair table BEFORE gathering
+    # (no (B,D,D,E) tensor at all) and the Lund pair-MLP runs in query-row
+    # chunks (`config.pair_chunk`), so the round-3 HBM blowup that crashed
+    # the TPU worker at W=128 is gone (models/particle_transformers.py)
     if (cfg.model not in _PACKABLE_MODELS or getattr(cfg, "use_pos_emb", False)
-            or pairwise or not first_n):
+            or not first_n):
         return generate_bucketed(
             system, params, pad_masks, num_timesteps=num_timesteps,
             temperature=temperature, top_k=top_k, top_p=top_p,
@@ -487,7 +402,8 @@ def generate_packed(
             num_timesteps=num_timesteps, temperature=temperature,
             top_k=top_k, top_p=top_p, use_final_max_rates=use_final_max_rates,
             batch_size=packed_bs, seed=seed, mesh=mesh,
-            max_dispatch_steps=row_cap)
+            max_dispatch_steps=row_cap,
+            num_segments=int(row_seg.max()) + 1)
 
     if sample_rows is not None:
         sample = _unpack_rows(sample_rows, pad_masks, row_of, offset_of, pack_width)
@@ -557,7 +473,8 @@ def _rebalanced_batch(n_rows: int, batch_size: int, gran: int = 8) -> int:
 def _run_packed_rows(system, params, row_masks: np.ndarray, row_segs: np.ndarray,
                      *, num_timesteps: int, temperature: float, top_k, top_p,
                      use_final_max_rates: bool, batch_size: int, seed: int,
-                     mesh, max_dispatch_steps: int) -> MultiModal:
+                     mesh, max_dispatch_steps: int,
+                     num_segments: Optional[int] = None) -> MultiModal:
     """Run packed rows through the compiled scan-of-scans sampler (the
     packed twin of `generate`'s core): noise per row on device, segments as
     a scanned input, chunked into tunnel-safe dispatches."""
@@ -608,7 +525,8 @@ def _run_packed_rows(system, params, row_masks: np.ndarray, row_segs: np.ndarray
                 top_k=top_k, top_p=top_p,
                 use_final_max_rates=use_final_max_rates,
                 batch_size=batch_size, seed=seed + 7919 * (i + 1), mesh=mesh,
-                max_dispatch_steps=max_dispatch_steps))
+                max_dispatch_steps=max_dispatch_steps,
+                num_segments=num_segments))
         return MultiModal.concat([p.map(np.asarray) for p in pieces])[:n_rows]
 
     masks_stacked = row_masks.reshape(n_batches, batch_size, *row_masks.shape[1:])
@@ -618,7 +536,7 @@ def _run_packed_rows(system, params, row_masks: np.ndarray, row_segs: np.ndarray
     if cache is None:
         cache = system._packed_sim_cache = {}
     sig = (num_timesteps, top_k, top_p, use_final_max_rates, batch_size,
-           n_batches, W)
+           n_batches, W, num_segments)
 
     if sig not in cache:
 
@@ -631,7 +549,7 @@ def _run_packed_rows(system, params, row_masks: np.ndarray, row_segs: np.ndarray
                     p, k_sim, src, num_timesteps, temperature=temp,
                     top_k=top_k, top_p=top_p,
                     use_final_max_rates=use_final_max_rates,
-                    segments=seg_b)
+                    segments=seg_b, num_segments=num_segments)
                 return k, final
             _, finals = jax.lax.scan(body, key, (masks_dev, segs_dev))
             return finals

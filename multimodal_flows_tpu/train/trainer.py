@@ -322,6 +322,48 @@ class Trainer:
         return [(w, ArrayDataset(self._truncate_width(ds.coupling[sel], w)), sel)
                 for w, sel in merged]
 
+    # --------------------------------------------------- packed training
+
+    def _pack_units(self, ds: ArrayDataset):
+        """Pack a dataset into multi-jet rows for packed training.
+
+        Returns a list of `PackedDataset` units — the W=pack_width packed
+        rows, plus (when some jets are wider than pack_width) a singleton-
+        rows unit at the native width — or None when packing does not
+        apply (non-first-n masks, or explicit sources in the coupling,
+        which the packed loss would ignore).  Each unit is padded with
+        empty rows to a batch multiple so nothing is dropped by drop_last
+        and every batch compiles at one shape.
+
+        Packing is computed ONCE per dataset (best-fit-decreasing is a
+        host-side Python loop); epochs shuffle rows, not jets — jets
+        sharing a row co-occur in every batch, which is statistically
+        benign at >=3 jets/row x 128 rows/batch since each jet still draws
+        its own t every epoch.
+        """
+        from multimodal_flows_tpu.data.packing import (
+            PackedDataset, pack_multimodal, pad_rows, singleton_rows)
+
+        cfg = self.config
+        src = ds.coupling.source
+        if src.continuous is not None or src.discrete is not None:
+            log.warn("packed_training disabled: coupling has explicit "
+                     "sources (packed loss draws sources per token)")
+            return None
+        target = ds.coupling.target
+        try:
+            packed, leftover = pack_multimodal(target, cfg.pack_width)
+        except ValueError:
+            log.warn("packed_training disabled: masks are not first-n filled")
+            return None
+        units = []
+        if packed is not None:
+            units.append(PackedDataset(pad_rows(packed, cfg.batch_size)))
+        if len(leftover):
+            units.append(PackedDataset(pad_rows(
+                singleton_rows(target[leftover]), cfg.batch_size)))
+        return units or None
+
     def _ship_stack(self, batches):
         """Stack a list of host batches along a new scan axis and ship to
         the device(s) in one transfer."""
@@ -399,7 +441,23 @@ class Trainer:
             assert cfg.batch_size % n_dev == 0, (
                 f"batch_size {cfg.batch_size} must be divisible by the "
                 f"{n_dev}-device data axis")
-        spe = self._steps_per_epoch or max(num_batches(len(train_ds), cfg.batch_size), 1)
+        # packed training: convert datasets to multi-jet row units up front
+        # (affects steps-per-epoch, hence the LR schedule)
+        packed_train_units = packed_val_units = None
+        if cfg.packed_training:
+            if cfg.bucketed_training:
+                raise ValueError(
+                    "packed_training and bucketed_training are mutually exclusive")
+            packed_train_units = self._pack_units(train_ds)
+            packed_val_units = self._pack_units(val_ds) if packed_train_units else None
+            if packed_val_units is None:
+                packed_train_units = None  # all-or-nothing fallback
+
+        if packed_train_units is not None:
+            spe = self._steps_per_epoch or max(
+                sum(num_batches(len(u), cfg.batch_size) for u in packed_train_units), 1)
+        else:
+            spe = self._steps_per_epoch or max(num_batches(len(train_ds), cfg.batch_size), 1)
 
         key = jax.random.PRNGKey(cfg.seed)
         k_init, k_train = jax.random.split(key)
@@ -447,7 +505,9 @@ class Trainer:
                 lambda a: jnp.asarray(a),
                 ds.coupling) if self._use_resident_gather(ds, cfg.batch_size) else None
 
-        if train_buckets is None:
+        if packed_train_units is not None:
+            train_units = [(u, ship_resident(u)) for u in packed_train_units]
+        elif train_buckets is None:
             train_units = [(train_ds, ship_resident(train_ds))]
         else:
             train_units = [(b_ds, ship_resident(b_ds)) for _, b_ds, _ in train_buckets]
@@ -471,7 +531,9 @@ class Trainer:
                 return ("resident", stack, weights)
             return ("stream", ds, weights)
 
-        if val_buckets is None:
+        if packed_val_units is not None:
+            val_sets = [build_val(u) for u in packed_val_units]
+        elif val_buckets is None:
             val_sets = [build_val(val_ds)]
         else:
             val_sets = [build_val(b_ds) for _, b_ds, _ in val_buckets]
@@ -515,7 +577,7 @@ class Trainer:
                 return state, outs
 
             accum, weights = [], []
-            if train_buckets is None:
+            if train_buckets is None and len(train_units) == 1:
                 ds0, dev0 = train_units[0]
                 state, outs = run_unit(state, ds0, dev0, k_epoch)
                 for m, n_b in outs:
@@ -523,17 +585,21 @@ class Trainer:
                     weights.append(n_b)
                     global_step += n_b
             else:
-                # random bucket order per epoch (avoids a fixed curriculum)
+                # random unit order per epoch (avoids a fixed curriculum
+                # over buckets / packed units)
                 rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, epoch, 77]))
-                for bi in rng.permutation(len(train_buckets)):
-                    w, b_ds, _ = train_buckets[bi]
-                    if len(b_ds) < cfg.batch_size:
-                        # only possible when the WHOLE dataset is smaller
-                        # than one batch (buckets merge up to batch_size)
-                        log.warn(f"bucket width {w}: {len(b_ds)} jets < "
-                                 f"batch_size {cfg.batch_size}; skipped")
-                        continue
-                    state, outs = run_unit(state, b_ds, train_units[bi][1],
+                for bi in rng.permutation(len(train_units)):
+                    u_ds, u_dev = train_units[bi]
+                    if train_buckets is not None:
+                        w = train_buckets[bi][0]
+                        if len(u_ds) < cfg.batch_size:
+                            # only possible when the WHOLE dataset is smaller
+                            # than one batch (buckets merge up to batch_size;
+                            # packed units are padded to batch multiples)
+                            log.warn(f"bucket width {w}: {len(u_ds)} jets < "
+                                     f"batch_size {cfg.batch_size}; skipped")
+                            continue
+                    state, outs = run_unit(state, u_ds, u_dev,
                                            jax.random.fold_in(k_epoch, int(bi)))
                     for m, n_b in outs:
                         accum.append(m)

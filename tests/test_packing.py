@@ -247,23 +247,24 @@ def test_generate_packed_falls_back_for_pos_emb():
     assert res.sample.discrete.shape == (4, cfg.max_num_particles, 1)
 
 
-def test_generate_packed_falls_back_for_pairwise(monkeypatch):
-    """Pairwise-bias encoders must sample bucketed: their (B, D, D, n_embd)
-    pair-hidden tensors grow quadratically with row width, and packing them
-    to W=128 breached HBM on the real chip (TPU worker crash)."""
+def test_generate_packed_handles_pairwise(monkeypatch):
+    """Pairwise-bias encoders sample on the PACKED path since round 4: the
+    co-occurrence bias gathers a pre-projected 45-row table (no (B,D,D,E)
+    tensor) and the Lund pair-MLP runs in query-row chunks, so the round-3
+    HBM blowup is gone and the fallback was removed."""
     import multimodal_flows_tpu.sampling.generator as gen
 
-    calls = []
-    orig = gen.generate_bucketed
+    packed_calls = []
+    real = gen._run_packed_rows
 
     def spy(*a, **kw):
-        calls.append(1)
-        return orig(*a, **kw)
+        packed_calls.append(1)
+        return real(*a, **kw)
 
-    monkeypatch.setattr(gen, "generate_bucketed", spy)
+    monkeypatch.setattr(gen, "_run_packed_rows", spy)
 
     for cfg, kind in [
-        (_mk_cfg(model="KinFormer", use_pairwise=True,
+        (_mk_cfg(model="KinFormer", use_pairwise=True, pair_chunk=8,
                  metadata={"mean": [0.0] * 3, "std": [1.0] * 3}), "CFM"),
         (_mk_cfg(model="FlavorFormer", use_pairwise=True), "MJB"),
         (_mk_cfg(model="ParticleFormer", use_coocurrence=True), "MMF"),
@@ -272,11 +273,105 @@ def test_generate_packed_falls_back_for_pairwise(monkeypatch):
         params = system.init_params(jax.random.PRNGKey(0))
         mult = np.asarray([4, 6, 3, 5])
         masks = _first_n_masks(mult, cfg.max_num_particles)
-        n_before = len(calls)
+        n_before = len(packed_calls)
         res = gen.generate_packed(system, params, masks, num_timesteps=4,
                                   batch_size=4, seed=0)
-        assert len(calls) == n_before + 1, f"{cfg.model} did not fall back"
+        assert len(packed_calls) == n_before + 1, f"{cfg.model} not packed"
         assert res.sample.mask.shape == (4, cfg.max_num_particles, 1)
+
+
+def test_packed_forward_parity_coocurrence():
+    """ParticleFormer with the co-occurrence bias stays per-jet exact under
+    packing (cross-jet bias entries are masked by the segment mask; the
+    table-gather rewrite must equal the reference gather-then-project)."""
+    cfg = _mk_cfg(model="ParticleFormer", use_coocurrence=True)
+    system = build_system(cfg, "MMF")
+    params = system.init_params(jax.random.PRNGKey(0))
+    mults = [6, 4, 8, 3]
+    unpacked, packed, seg, (row_of, offset_of, _) = _pack_states(
+        jax.random.PRNGKey(5), cfg, mults, 24)
+
+    ref = system.module.apply(params, unpacked)
+    out = system.module.apply(params, packed, segments=seg)
+    for ref_h, out_h in zip(ref, out):
+        ref_h, out_h = np.asarray(ref_h), np.asarray(out_h)
+        for j, m in enumerate(mults):
+            r, o = int(row_of[j]), int(offset_of[j])
+            np.testing.assert_allclose(out_h[r, o:o + m], ref_h[j, :m],
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_packed_forward_parity_epic():
+    """EPiC joins the packed path (round 4): per-segment mean+sum pooling
+    (`ops/pooling.py:segment_meansum_pool`) keeps the global stream per-jet,
+    so the packed forward equals the per-jet unpacked forward exactly —
+    the per-row pool that excluded EPiC from packing would have blended
+    jets sharing a row (reference `EPiC.py:65-72`)."""
+    cfg = _mk_cfg(model="EPiC", n_embd_glob=8)
+    system = build_system(cfg, "CFM")
+    params = system.init_params(jax.random.PRNGKey(0))
+    mults = [5, 9, 3, 7, 12, 4]
+    W = 24
+    unpacked, packed, seg, (row_of, offset_of, _) = _pack_states(
+        jax.random.PRNGKey(7), cfg, mults, W)
+    J = int(np.asarray(seg).max()) + 1
+
+    ref = np.asarray(system.module.apply(params, unpacked))
+    out = np.asarray(system.module.apply(params, packed, segments=seg,
+                                         num_segments=J))
+    for j, m in enumerate(mults):
+        r, o = int(row_of[j]), int(offset_of[j])
+        np.testing.assert_allclose(out[r, o:o + m], ref[j, :m],
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"EPiC: jet {j} mismatch")
+
+
+def test_generate_packed_epic_end_to_end(monkeypatch):
+    """EPiC samples on the PACKED path end-to-end (the round-3 exclusion at
+    generator.py is gone) and returns finite per-jet kinematics."""
+    import multimodal_flows_tpu.sampling.generator as gen
+
+    packed_calls = []
+    real = gen._run_packed_rows
+
+    def spy(*a, **kw):
+        packed_calls.append(kw.get("num_segments"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(gen, "_run_packed_rows", spy)
+
+    cfg = _mk_cfg(model="EPiC", n_embd_glob=8)
+    system = build_system(cfg, "CFM")
+    params = system.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    mult = np.clip(rng.poisson(8, size=20), 1, 24)
+    masks = _first_n_masks(mult, cfg.max_num_particles)
+    res = gen.generate_packed(system, params, masks, num_timesteps=4,
+                              pack_width=24, batch_size=4, seed=0)
+    assert len(packed_calls) == 1 and packed_calls[0] is not None
+    s = res.sample
+    assert s.continuous.shape == (20, cfg.max_num_particles, 3)
+    np.testing.assert_array_equal(np.asarray(s.mask), masks)
+    assert np.isfinite(np.asarray(s.continuous)).all()
+    real_slots = masks[..., 0].astype(bool)
+    assert (np.asarray(s.continuous)[~real_slots] == 0).all()
+
+
+def test_lund_chunking_matches_unchunked():
+    """The chunked Lund pair-MLP (pair_chunk) equals the unchunked form."""
+    meta = {"mean": [1.0, 0.0, 0.0], "std": [2.0, 1.0, 1.0]}
+    cfg_c = _mk_cfg(model="KinFormer", use_pairwise=True, pair_chunk=8,
+                    metadata=meta)
+    cfg_u = _mk_cfg(model="KinFormer", use_pairwise=True, pair_chunk=0,
+                    metadata=meta)
+    sys_c = build_system(cfg_c, "CFM")
+    sys_u = build_system(cfg_u, "CFM")
+    params = sys_c.init_params(jax.random.PRNGKey(0))
+    mults = [6, 4, 8, 3]
+    unpacked, _, _, _ = _pack_states(jax.random.PRNGKey(6), cfg_c, mults, 24)
+    out_c = np.asarray(sys_c.module.apply(params, unpacked))
+    out_u = np.asarray(sys_u.module.apply(params, unpacked))
+    np.testing.assert_allclose(out_c, out_u, rtol=1e-5, atol=1e-6)
 
 
 def test_generate_packed_caps_dispatch_batch_at_128(monkeypatch):
