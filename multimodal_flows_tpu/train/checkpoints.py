@@ -23,6 +23,10 @@ MONITORS = {
     "best": "val_loss",
     "best_mse": "val_loss_mse",
     "best_ce": "val_loss_ce",
+    # in-training sampled-W1 monitor (train/physics_eval.py); the metric is
+    # only present on physics-eval epochs — absent values are skipped, so
+    # the slot stays empty unless config.physics_eval_every_n_epochs > 0
+    "best_physics": "val_w1_physics",
 }
 
 

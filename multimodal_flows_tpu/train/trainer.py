@@ -51,6 +51,7 @@ class Trainer:
             self.mesh = make_mesh() if mesh == "auto" else mesh
         self._steps_per_epoch = steps_per_epoch
         self._compiled = {}
+        self._physics_ref = None  # (ref_obs, masks) cache for physics eval
 
     # ------------------------------------------------------------ building
 
@@ -639,13 +640,26 @@ class Trainer:
                     v_accum, [sum(w) for w in v_weights], prefix="val_",
                     inner_weights=v_weights)
 
+            # ---- periodic in-training physics eval (best_physics slot):
+            # sample a few thousand jets at a low step count and score
+            # W1(pt/mass/mult) vs the val set — the val-loss monitors
+            # mis-rank sample quality (CLOSURE_r03: W1(pt) 15.6 for the
+            # val-loss `best` slot vs 0.82 for the end-of-cosine EMA)
+            did_physics = False
+            if cfg.physics_eval_every_n_epochs > 0 and (
+                    (epoch + 1) % cfg.physics_eval_every_n_epochs == 0
+                    or epoch == cfg.max_epochs - 1):
+                val_metrics.update(self._run_physics_eval(state, val_ds, epoch))
+                did_physics = "val_w1_physics" in val_metrics
+
             epoch_metrics = {**train_metrics, **val_metrics,
                              "epoch": epoch,
                              "lr": float(self.lr_schedule(global_step)),
                              "epoch_time_s": time.time() - t0}
             logger.log(int(state.step), epoch_metrics)
 
-            if (epoch + 1) % cfg.checkpoint_every_n_epochs == 0 or epoch == cfg.max_epochs - 1:
+            if ((epoch + 1) % cfg.checkpoint_every_n_epochs == 0
+                    or epoch == cfg.max_epochs - 1 or did_physics):
                 ckpt.save(self._to_ckpt(state, epoch=epoch + 1), val_metrics, epoch + 1)
 
             log.info(
@@ -655,6 +669,48 @@ class Trainer:
 
         logger.close()
         return state
+
+    # -------------------------------------------------------- physics eval
+
+    def _run_physics_eval(self, state: TrainState, val_ds: ArrayDataset,
+                          epoch: int) -> Dict[str, float]:
+        """Sample with the current (EMA) params and score W1 vs the val
+        set (train/physics_eval.py).  The reference observables and masks
+        are computed once per fit and cached; generation reuses the packed
+        sampler's compile cache across evals (same shapes every time)."""
+        from multimodal_flows_tpu.train.physics_eval import (
+            physics_metrics, reference_observables)
+
+        cfg = self.config
+        target = val_ds.coupling.target
+        if target.mask is None:
+            return {}
+        n = min(cfg.physics_eval_num_jets, len(target))
+        if self._physics_ref is None:
+            self._physics_ref = (
+                reference_observables(target, cfg.metadata, n),
+                np.asarray(target.mask)[:n],
+            )
+        ref_obs, masks = self._physics_ref
+        params = state.ema_params if state.ema_params is not None else state.params
+        t0 = time.time()
+        try:
+            out = physics_metrics(
+                self.system, params, ref_obs, masks,
+                num_timesteps=cfg.physics_eval_num_timesteps,
+                metadata=cfg.metadata, batch_size=cfg.batch_size,
+                seed=cfg.seed + 104729 * (epoch + 1), mesh=self.mesh,
+                pack_width=cfg.pack_width)
+        except Exception as e:  # never let a metric kill a long run
+            log.warn(f"physics eval failed at epoch {epoch}: {e!r}")
+            return {}
+        if "val_w1_physics" in out:
+            log.info(f"physics eval: w1={out['val_w1_physics']:.4f} "
+                     + " ".join(f"{k.removeprefix('val_w1_')}={v:.3f}"
+                                for k, v in out.items()
+                                if k != "val_w1_physics")
+                     + f" ({time.time() - t0:.1f}s)")
+        return out
 
     # ----------------------------------------------------------- inference
 

@@ -94,6 +94,20 @@ def experiment_configs(argv=None) -> Config:
     p.add_argument("--bucketed_training", action="store_true", default=False,
                    help="group jets by multiplicity into static-width "
                         "buckets (2-3x faster epochs; within-bucket batches)")
+    p.add_argument("--packed_training", action="store_true", default=False,
+                   help="multi-jet packed training: jets share "
+                        "pack_width-token rows behind a block-diagonal "
+                        "segment mask, with per-jet time and per-jet loss "
+                        "normalization (exact per-jet parity)")
+    p.add_argument("--pack_width", type=int, default=128,
+                   help="packed row width for packed training/sampling")
+    p.add_argument("--physics_eval_every_n_epochs", type=int, default=0,
+                   help="0 = off; every N epochs sample a few thousand "
+                        "jets and checkpoint the best W1(pt/mass/mult) in "
+                        "a `best_physics` slot (the val-loss monitors "
+                        "mis-rank sample quality, CLOSURE_r03)")
+    p.add_argument("--physics_eval_num_jets", type=int, default=2000)
+    p.add_argument("--physics_eval_num_timesteps", type=int, default=50)
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--fsdp", action="store_true", default=False,
                    help="ZeRO-3-style: shard params + optimizer state over "
