@@ -153,6 +153,12 @@ class Config:
     physics_eval_num_jets: int = 2000
     physics_eval_num_timesteps: int = 50
     log_every_n_steps: int = 50
+    use_wandb: bool = False                      # extra Weights & Biases metric
+                                                 # sink (offline-first; gated on
+                                                 # the wandb package) — the
+                                                 # online-tracker UX the reference
+                                                 # gets from Comet
+                                                 # (`utils/helpers.py:14-38`)
 
     # ------------------------------------------------------------ helpers
 

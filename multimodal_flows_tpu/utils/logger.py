@@ -225,10 +225,41 @@ class TensorBoardSink(MetricSink):
         self._f.close()
 
 
+class WandbSink(MetricSink):
+    """Weights & Biases sink — the online-tracker UX the reference gets
+    from Comet (`utils/helpers.py:14-38`, gated there on a
+    `comet_workspace.txt` key file).  Gated here the same way: requires
+    the `wandb` package; honors `WANDB_MODE` (defaults to `offline` so a
+    zero-egress box still records a resumable run directory that
+    `wandb sync` can upload later).
+    """
+
+    def __init__(self, project: str, name: Optional[str] = None,
+                 config: Optional[Dict[str, Any]] = None,
+                 dir: Optional[str] = None):
+        import wandb  # raises ImportError when not installed (caller gates)
+
+        self._run = wandb.init(
+            project=project, name=name, config=config or {}, dir=dir,
+            mode=os.environ.get("WANDB_MODE", "offline"))
+
+    def log(self, step, metrics):
+        scalars = {k: float(v) for k, v in metrics.items()
+                   if hasattr(v, "__float__")}
+        if scalars:
+            self._run.log(scalars, step=int(step))
+
+    def close(self):
+        self._run.finish()
+
+
 class MetricsLogger:
     """Fan-out logger owning the experiment directory."""
 
-    def __init__(self, experiment_dir: str, sinks: Optional[List[MetricSink]] = None):
+    def __init__(self, experiment_dir: str, sinks: Optional[List[MetricSink]] = None,
+                 wandb_project: Optional[str] = None,
+                 wandb_name: Optional[str] = None,
+                 wandb_config: Optional[Dict[str, Any]] = None):
         self.dir = experiment_dir
         os.makedirs(experiment_dir, exist_ok=True)
         if sinks is None:
@@ -237,6 +268,14 @@ class MetricsLogger:
                 CSVSink(os.path.join(experiment_dir, "metrics.csv")),
                 TensorBoardSink(os.path.join(experiment_dir, "tb")),
             ]
+        if wandb_project:
+            try:
+                sinks.append(WandbSink(wandb_project, name=wandb_name,
+                                       config=wandb_config, dir=experiment_dir))
+            except ImportError:
+                SimpleLogger.warn(
+                    "use_wandb requested but the wandb package is not "
+                    "installed — continuing with JSONL/CSV/TensorBoard sinks")
         self.sinks = sinks
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:

@@ -108,6 +108,10 @@ def experiment_configs(argv=None) -> Config:
                         "mis-rank sample quality, CLOSURE_r03)")
     p.add_argument("--physics_eval_num_jets", type=int, default=2000)
     p.add_argument("--physics_eval_num_timesteps", type=int, default=50)
+    p.add_argument("--use_wandb", action="store_true", default=False,
+                   help="extra Weights & Biases metric sink (offline-first; "
+                        "requires the wandb package — the online-tracker UX "
+                        "the reference gets from Comet)")
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--fsdp", action="store_true", default=False,
                    help="ZeRO-3-style: shard params + optimizer state over "

@@ -330,3 +330,48 @@ def test_checkpoint_resume_duplicate_epochs_and_link_safety(tmp_path):
     mgr.save(st(3), {"val_loss": 9.0}, epoch=3)
     assert os.path.isdir(os.path.join(mgr.dir, os.readlink(link)))
     assert mgr.load(tpl, "best")["w"][0] == 22.0
+
+
+def test_wandb_sink_fake_module(tmp_path, monkeypatch):
+    """WandbSink drives wandb.init/log/finish (W&B replaces the
+    reference's Comet tracker, `utils/helpers.py:14-38`); MetricsLogger
+    degrades gracefully when the package is absent."""
+    import sys
+    import types
+
+    calls = {"log": [], "finished": False}
+
+    class FakeRun:
+        def log(self, metrics, step=None):
+            calls["log"].append((step, metrics))
+
+        def finish(self):
+            calls["finished"] = True
+
+    fake = types.ModuleType("wandb")
+
+    def fake_init(**kw):
+        calls["init"] = kw
+        return FakeRun()
+
+    fake.init = fake_init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    logger = MetricsLogger(str(tmp_path / "exp"), wandb_project="proj",
+                           wandb_name="run1", wandb_config={"lr": 1e-3})
+    logger.log(3, {"loss": 1.25, "note": "skipped-non-scalar"})
+    logger.close()
+    assert calls["init"]["project"] == "proj"
+    assert calls["init"]["name"] == "run1"
+    assert calls["init"]["mode"] == "offline"  # zero-egress default
+    assert calls["log"] == [(3, {"loss": 1.25})]
+    assert calls["finished"]
+    # JSONL sink still wrote alongside
+    assert (tmp_path / "exp" / "metrics.jsonl").exists()
+
+    # absent package: warn-and-continue with the offline sinks
+    monkeypatch.delitem(sys.modules, "wandb")
+    logger2 = MetricsLogger(str(tmp_path / "exp2"), wandb_project="proj")
+    logger2.log(1, {"loss": 2.0})
+    logger2.close()
+    assert (tmp_path / "exp2" / "metrics.jsonl").exists()
