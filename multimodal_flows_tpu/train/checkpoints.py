@@ -46,19 +46,45 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
 
     # ------------------------------------------------------------------ io
+    #
+    # Multi-host discipline: every process calls save()/load() (orbax
+    # coordinates the distributed array writes internally — sharded leaves
+    # are written by the process that owns them), but all FILESYSTEM
+    # bookkeeping on the shared experiment dir — the tmp->final rename,
+    # symlink repointing, eviction rmtrees, index.json — runs on process 0
+    # only, fenced by barriers so no process can read a half-renamed slot.
+    # (The reference leaned on Lightning's rank-zero-only ModelCheckpoint
+    # for the same contract, `scripts/train_mmf.py:128-148`.)
+
+    @staticmethod
+    def _is_primary() -> bool:
+        return jax.process_index() == 0
+
+    @staticmethod
+    def _barrier(tag: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt-{tag}")
 
     def _save_to(self, name: str, state) -> None:
         path = os.path.join(self.dir, name)
         tmp = path + ".tmp"
-        if os.path.exists(tmp):
+        if self._is_primary() and os.path.exists(tmp):
             shutil.rmtree(tmp)
+        self._barrier(f"pre-save-{name}")
         self._ckptr.save(tmp, state)
         self._ckptr.wait_until_finished()
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        self._barrier(f"post-save-{name}")
+        if self._is_primary():
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(tmp, path)
+        self._barrier(f"post-rename-{name}")
 
     def _write_index(self) -> None:
+        if not self._is_primary():
+            return
         with open(self._index_path, "w") as f:
             json.dump(self.index, f, indent=1)
 
@@ -116,26 +142,29 @@ class CheckpointManager:
                 # the same pytree every improving epoch.  Re-pointed BEFORE
                 # eviction rmtrees below, so a crash in between never
                 # leaves the slot dangling at a deleted directory.
-                if os.path.islink(link):
-                    os.unlink(link)
-                elif os.path.isdir(link):  # legacy full-copy slot
-                    shutil.rmtree(link)
-                os.symlink(entry["name"], link)
+                if self._is_primary():
+                    if os.path.islink(link):
+                        os.unlink(link)
+                    elif os.path.isdir(link):  # legacy full-copy slot
+                        shutil.rmtree(link)
+                    os.symlink(entry["name"], link)
                 self.index["best_values"][slot] = {"value": value, "epoch": epoch}
                 written[slot] = True
             # evict after the link is current; never delete the directory
             # the slot link still points at
-            link_target = os.readlink(link) if os.path.islink(link) else None
-            for ev in evicted:
-                if ev["name"] == link_target:
-                    continue
-                path = os.path.join(self.dir, ev["name"])
-                if os.path.exists(path):
-                    shutil.rmtree(path)
+            if self._is_primary():
+                link_target = os.readlink(link) if os.path.islink(link) else None
+                for ev in evicted:
+                    if ev["name"] == link_target:
+                        continue
+                    path = os.path.join(self.dir, ev["name"])
+                    if os.path.exists(path):
+                        shutil.rmtree(path)
 
         self.index["history"].append(
             {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}})
         self._write_index()
+        self._barrier("post-index")
         return written
 
     # ---------------------------------------------------------------- load

@@ -99,6 +99,24 @@ class Trainer:
             from multimodal_flows_tpu.parallel.mesh import replicated_sharding
 
             state = jax.device_put(state, replicated_sharding(self.mesh))
+        elif self.mesh is not None:
+            # fsdp/tp: params (and the moments/EMA derived from them)
+            # already carry mesh-wide NamedShardings, but the scalar leaves
+            # sit on device 0.  Single-process jit silently re-replicates
+            # uncommitted scalars; a multi-host checkpoint RESTORE gets the
+            # single-device sharding back as a *committed* layout and jit
+            # then rejects the mixed device set (caught by the round-4
+            # 2-process restart test).  Replicate them over the mesh here
+            # so both the live state and the restore target are consistent.
+            from jax.sharding import NamedSharding
+
+            from multimodal_flows_tpu.parallel.mesh import replicated_sharding
+
+            rep = replicated_sharding(self.mesh)
+            state = jax.tree.map(
+                lambda x: x if isinstance(getattr(x, "sharding", None),
+                                          NamedSharding)
+                else jax.device_put(x, rep), state)
         return state
 
     # --------------------------------------------------------------- steps
@@ -346,6 +364,14 @@ class Trainer:
             PackedDataset, pack_multimodal, pad_rows, singleton_rows)
 
         cfg = self.config
+        if getattr(cfg, "use_pos_emb", False):
+            # learned positional embeddings index absolute row slots; a
+            # packed row would leak cross-jet positions (the model raises
+            # on segments + use_pos_emb) — fall back to unpacked training
+            log.warn("packed_training disabled: learned positional "
+                     "embeddings (use_pos_emb) are incompatible with "
+                     "multi-jet packed rows")
+            return None
         src = ds.coupling.source
         if src.continuous is not None or src.discrete is not None:
             log.warn("packed_training disabled: coupling has explicit "

@@ -1,0 +1,179 @@
+"""Turnkey real-AOJ pipeline: load -> train -> sweep -> closure.
+
+One command that, pointed at real AspenOpenJets files, reproduces the
+reference's full experiment loop (`/root/reference/scripts/train_mmf.py`
+-> `scripts/sample_mmf.py:116-164`): featurize with the production loader,
+train the flagship recipe, run the 9-point (num_timesteps x temperature)
+generation sweep, and write W1 closure metrics + plots per sweep point —
+all via the production CLIs, so every stage is individually resumable.
+
+Real data (reference convention: train on one RunG batch, score closure
+against another):
+
+  python scripts/run_aoj_pipeline.py --dir_aoj /data/aoj \\
+      -f RunG_batch0.h5 --test_file RunG_batch1.h5
+
+Dry run (no real data reachable): generates synthetic PFCands files in
+the REAL AOJ schema — (J, P, 10) float32 [px,py,pz,E,d0,d0Err,dz,dzErr,
+pid,charge], PID zoo incl. HF types the loader must filter — and runs the
+same pipeline at toy scale (~10 min on one chip):
+
+  python scripts/run_aoj_pipeline.py --dryrun
+
+Data access: AOJ files are published at fdr.uni-hamburg.de/record/16505
+(`data/aoj.py:AOJ_URL`); `AspenOpenJets(..., download=True)` fetches them
+when the box has egress.  Schema assumptions the loader makes (and tests
+pin, tests/test_aoj.py):
+
+  * the `PFCands` dataset holds zero-padded candidates; a candidate is
+    real iff E > 0;
+  * candidates need NOT be pT-sorted: the loader sorts and derives tokens
+    from the SAME sorted tensor (the reference computes tokens from the
+    unsorted file, `utils/aoj.py:171-172` — a latent misalignment that is
+    a no-op only because published AOJ files ship pre-sorted);
+  * |pid| < 11 (CMS HF candidate types 1/2) is filtered; |pid| >= 11
+    outside the 8-token map becomes token 0 but keeps its kinematics
+    (matches reference `utils/aoj.py:193-222`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd, log_path):
+    print("$ " + " ".join(cmd), flush=True)
+    with open(log_path, "a") as f:
+        f.write("\n$ " + " ".join(cmd) + "\n")
+        f.flush()
+        subprocess.run(cmd, check=True, stdout=f, stderr=subprocess.STDOUT,
+                       cwd=REPO)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dir_aoj", default="/tmp/aoj_pipeline/data",
+                   help="directory holding the AOJ .h5 files")
+    p.add_argument("--data_files", "-f", type=str, default="RunG_batch0.h5",
+                   help="training file (same single-string contract as the "
+                        "production CLIs and the reference)")
+    p.add_argument("--test_file", type=str, default=None,
+                   help="held-out closure file; the reference convention "
+                        "scores against a different RunG batch than "
+                        "training (its sample_mmf.py:118 hardcodes "
+                        "RunG_batch1.h5). Default: the training file — "
+                        "NOT a strict held-out test")
+    p.add_argument("--dir", default="/tmp/aoj_pipeline/experiments")
+    p.add_argument("--project", default="aoj_jets")
+    p.add_argument("--experiment_id", default=None,
+                   help="resume/sample an existing experiment instead of "
+                        "training a new one")
+    p.add_argument("--num_jets", "-n", type=int, default=1_250_000)
+    p.add_argument("--max_num_particles", "-d", type=int, default=150)
+    p.add_argument("--epochs", type=int, default=1500)
+    p.add_argument("--gen_jets", type=int, default=100_000)
+    p.add_argument("--sweep_steps", type=int, nargs="*", default=[50, 100, 500])
+    p.add_argument("--sweep_temps", type=float, nargs="*", default=[0.8, 1.0, 1.2])
+    p.add_argument("--dryrun", action="store_true",
+                   help="generate synthetic real-schema files and run the "
+                        "whole pipeline at toy scale")
+    args = p.parse_args(argv)
+
+    os.makedirs(args.dir, exist_ok=True)
+    log_path = os.path.join(args.dir, "pipeline.log")
+
+    if args.dryrun:
+        # synthetic PFCands in the real schema, two independent files so
+        # the closure reference is strictly held out
+        from closure_r02 import generate_synthetic_pfcands
+        import h5py
+
+        os.makedirs(args.dir_aoj, exist_ok=True)
+        args.data_files = "RunG_synth_train.h5"
+        args.test_file = "RunG_synth_test.h5"
+        args.num_jets, args.max_num_particles = 20_000, 64
+        args.epochs, args.gen_jets = 12, 2_000
+        args.sweep_steps, args.sweep_temps = [20, 100], [1.0]
+        model_flags = ["--n_embd", "64", "--n_inner", "128", "--n_layer",
+                       "2", "--n_layer_fused", "2", "--n_head", "2"]
+    else:
+        model_flags = []  # train_mmf defaults = the reference flagship
+        for fname, n, seed in [("RunG_synth_train.h5", args.num_jets, 0),
+                               ("RunG_synth_test.h5", 5_000, 1)]:
+            path = os.path.join(args.dir_aoj, fname)
+            if not os.path.exists(path):
+                pf = generate_synthetic_pfcands(n, args.max_num_particles,
+                                                seed=seed)
+                with h5py.File(path, "w") as f:
+                    f.create_dataset("PFCands", data=pf)
+                print(f"wrote synthetic real-schema PFCands {pf.shape} -> {path}")
+
+    if args.test_file is None:
+        print("WARNING: --test_file not given; closure will score against "
+              "the training file (NOT a strict held-out test). The "
+              "reference convention scores against a different RunG batch.")
+        args.test_file = args.data_files
+
+    for f in {args.data_files, args.test_file}:
+        path = os.path.join(args.dir_aoj, f)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found. Download AOJ files from "
+                f"https://www.fdr.uni-hamburg.de/record/16505 into "
+                f"--dir_aoj, or pass --dryrun for a synthetic-schema run.")
+
+    # ---- 1. train (flagship recipe; scale via flags)
+    exp_id = args.experiment_id
+    if exp_id is None:
+        before = set(glob.glob(os.path.join(args.dir, args.project, "*")))
+        t0 = time.time()
+        run([sys.executable, "scripts/train_mmf.py",
+             "--dir", args.dir, "--project", args.project,
+             "--dir_aoj", args.dir_aoj, "-f", args.data_files,
+             "-n", str(args.num_jets), "-d", str(args.max_num_particles),
+             "-bs", "256", "-epochs", str(args.epochs),
+             "--lr", "5e-4", "--lr_final", "1e-5", "--warmup_epochs", "2",
+             "-ema", "--packed_training",
+             "--physics_eval_every_n_epochs", str(max(args.epochs // 30, 1)),
+             *model_flags], log_path)
+        new = set(glob.glob(os.path.join(args.dir, args.project, "*"))) - before
+        exp_id = os.path.basename(sorted(new, key=os.path.getmtime)[-1])
+        print(f"trained experiment {exp_id} in {time.time()-t0:.0f}s")
+
+    # ---- 2. sweep + closure metrics + plots (one sample_mmf call runs the
+    # full grid and writes metrics.json + plots per point); sample from the
+    # end-of-cosine EMA — the round-3 ablation measured the val-loss slot
+    # to mis-rank sample quality (CLOSURE_r03: W1(pt) 15.6 vs 0.82)
+    run([sys.executable, "scripts/sample_mmf.py",
+         "--dir", args.dir, "--project", args.project, "-id", exp_id,
+         "--dir_aoj", args.dir_aoj, "-f", args.test_file,
+         "-n", str(args.gen_jets),
+         "-steps", *[str(s) for s in args.sweep_steps],
+         "-tmp", *[str(t) for t in args.sweep_temps],
+         "--checkpoint", "last", "--make_plots"], log_path)
+
+    # ---- 3. collect the sweep table
+    exp_dir = os.path.join(args.dir, args.project, exp_id)
+    rows = []
+    for mjson in sorted(glob.glob(os.path.join(exp_dir, "generation_results*",
+                                               "metrics.json"))):
+        m = json.load(open(mjson))
+        rows.append(m)
+        print(json.dumps(m, indent=1))
+    summary = os.path.join(exp_dir, "pipeline_summary.json")
+    json.dump(rows, open(summary, "w"), indent=1)
+    print(f"pipeline done: {len(rows)} sweep points -> {summary}")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,11 +11,13 @@ from multimodal_flows_tpu.data.state import DataCoupling, MultiModal
 GLOBAL_BATCH = 16
 
 
-def tiny_mp_config() -> Config:
-    return Config(model="ParticleFormer", n_embd=16, n_inner=32, n_layer=1,
-                  n_layer_fused=1, n_head=2, max_num_particles=6, vocab_size=9,
-                  dim_continuous=3, batch_size=GLOBAL_BATCH, dropout=0.0,
-                  multitask_loss="sum", time_eps=1e-5)
+def tiny_mp_config(**kw) -> Config:
+    base = dict(model="ParticleFormer", n_embd=16, n_inner=32, n_layer=1,
+                n_layer_fused=1, n_head=2, max_num_particles=6, vocab_size=9,
+                dim_continuous=3, batch_size=GLOBAL_BATCH, dropout=0.0,
+                multitask_loss="sum", time_eps=1e-5)
+    base.update(kw)
+    return Config(**base)
 
 
 def make_global_coupling() -> DataCoupling:

@@ -312,3 +312,75 @@ def test_snap_batch_ladder():
     for n in range(33, 400):
         b = _snap_batch(n)
         assert b >= n and b - n < 64 and b % 64 == 0
+
+
+def test_fast_inference_softmax_sample_equivalence_at_trained_scale():
+    """VERDICT r3 weak #5: the unnormalized inference softmax
+    (`ops/attention.py:156-167`) must reproduce the exact-softmax samples
+    at TRAINED-scale score magnitudes, not just near init.
+
+    Trained qk-LN gains grow the score bound |s| <= gamma_q gamma_k
+    sqrt(hs); here the gains are inflated until the measured max |score|
+    sits in the analytic exactness window ([25, 80), below the fp32-exp
+    clamp), then a full simulate() is traced once with and once without
+    the fast path and the generated samples are compared."""
+    import multimodal_flows_tpu.models.attention as mattn
+    from multimodal_flows_tpu.ops.attention import fast_inference_softmax
+
+    cfg = tiny_cfg(model="ParticleFormer", n_embd=32, n_head=2)
+    sys_ = MMF(cfg)
+    params = sys_.init_params(jax.random.PRNGKey(0))
+
+    # inflate every q/k LayerNorm gain -> trained-scale attention scores
+    def inflate(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        if any(n in ("q_layernorm", "k_layernorm") for n in names) \
+                and names[-1] == "scale":
+            return leaf * 4.0
+        return leaf
+
+    params = jax.tree_util.tree_map_with_path(inflate, params)
+
+    # measure the realized max |score| on a representative forward by
+    # wrapping the attention entry point (eager apply -> concrete values)
+    mask = np.zeros((8, 6, 1), np.int64)
+    mask[:, :5] = 1
+    src = make_noise_source(jax.random.PRNGKey(1), mask, cfg)
+
+    seen = []
+    orig = mattn.multihead_attention_btc
+
+    def recording(q, k, v, n_head, bias=None, key_mask=None, **kw):
+        hs = q.shape[-1] // n_head
+        B, T, C = q.shape
+        s = np.einsum("bqhd,bkhd->bhqk",
+                      np.asarray(q).reshape(B, T, n_head, hs),
+                      np.asarray(k).reshape(B, T, n_head, hs)) / np.sqrt(hs)
+        seen.append(np.abs(s).max())
+        return orig(q, k, v, n_head, bias, key_mask, **kw)
+
+    mattn.multihead_attention_btc = recording
+    try:
+        x = src.replace(time=np.full((8, 1), 0.5, np.float32))
+        sys_.module.apply(params, x, deterministic=True)
+    finally:
+        mattn.multihead_attention_btc = orig
+    max_score = max(seen)
+    assert 25.0 <= max_score < 80.0, (
+        f"test setup must hit trained-scale scores, got {max_score}")
+
+    # full simulate, fresh trace under each softmax mode
+    def run():
+        return sys_.simulate(params, jax.random.PRNGKey(7), src, 6,
+                             temperature=1.0)
+
+    with fast_inference_softmax(True):
+        fast = run()
+    with fast_inference_softmax(False):
+        exact = run()
+
+    np.testing.assert_array_equal(np.asarray(fast.discrete),
+                                  np.asarray(exact.discrete))
+    np.testing.assert_allclose(np.asarray(fast.continuous),
+                               np.asarray(exact.continuous),
+                               rtol=1e-5, atol=1e-5)

@@ -90,3 +90,57 @@ def test_two_process_parity(tmp_path):
     )(params, batch)
 
     np.testing.assert_allclose(results[0]["loss"], float(loss_1proc), rtol=1e-5)
+
+
+def _run_phase(tmp_path, phase, ckpt_dir):
+    port = _free_port()
+    outs = [str(tmp_path / f"{phase}{i}.json") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_worker_r04.py"),
+             str(i), "2", str(port), outs[i], phase, ckpt_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO)
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, f"{phase} worker failed:\n{lg[-3000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_tp_ckpt_packed(tmp_path):
+    """VERDICT r3 #8: FSDP + TP state/step, checkpoint save/restore across
+    a process RESTART, and a packed-generation multihost gather — all on
+    the 2-process x 4-device gloo harness."""
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    r = _run_phase(tmp_path, "train", ckpt_dir)
+    # FSDP: kernels really sharded; both processes agree on loss + params
+    assert r[0]["fsdp_any_sharded"] and r[1]["fsdp_any_sharded"]
+    np.testing.assert_allclose(r[0]["fsdp_loss"], r[1]["fsdp_loss"], rtol=1e-6)
+    np.testing.assert_allclose(r[0]["fsdp_fingerprint"],
+                               r[1]["fsdp_fingerprint"], rtol=1e-6)
+    # TP: model-axis sharding active, loss agreed
+    assert r[0]["tp_any_sharded"] and r[1]["tp_any_sharded"]
+    np.testing.assert_allclose(r[0]["tp_loss"], r[1]["tp_loss"], rtol=1e-6)
+    # packed generation gathered ALL jets identically on each process
+    assert r[0]["packed_gathered_jets"] == r[1]["packed_gathered_jets"] == 16
+    np.testing.assert_allclose(r[0]["packed_checksum"], r[1]["packed_checksum"],
+                               rtol=1e-6)
+    assert r[0]["packed_mult_total"] > 0
+
+    # ---- process restart: fresh pair restores the FSDP checkpoint ------
+    r2 = _run_phase(tmp_path, "restore", ckpt_dir)
+    for w in r2:
+        assert w["restored_epoch"] == 1
+        assert w["restored_still_sharded"]
+        assert np.isfinite(w["post_restore_loss"])
+    # the restored params are bit-consistent with what phase 1 saved
+    np.testing.assert_allclose(r2[0]["restored_fingerprint"],
+                               r[0]["fsdp_fingerprint"], rtol=1e-6)
+    np.testing.assert_allclose(r2[0]["restored_fingerprint"],
+                               r2[1]["restored_fingerprint"], rtol=1e-6)

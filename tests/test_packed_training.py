@@ -295,3 +295,18 @@ def test_cfm_mjb_packed_loss_runs_and_is_finite(model, kind):
     packed, _ = pack_multimodal(jets, 24)
     loss, metrics = system.loss_fn(params, packed, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_pack_units_guard_pos_emb():
+    """Learned positional embeddings are incompatible with packed rows
+    (absolute slots would leak across jets): _pack_units must decline and
+    fit must fall back to unpacked training instead of tracing a model
+    that raises on segments + use_pos_emb."""
+    cfg = _mk_cfg(model="FlavorFormer", packed_training=True, pack_width=24,
+                  use_pos_emb=True, use_pairwise=True)
+    system = build_system(cfg, "MJB")
+    trainer = Trainer(system, cfg, mesh=None)
+    jets = _make_jets([5, 9, 3, 7], 24, seed=3).replace(continuous=None)
+    ds = ArrayDataset(DataCoupling(source=MultiModal(mask=jets.mask),
+                                   target=jets))
+    assert trainer._pack_units(ds) is None
