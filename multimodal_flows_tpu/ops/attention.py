@@ -206,10 +206,10 @@ def multihead_attention_btc(
         # packing can't beat XLA's fusions while hs=32 underfills the MXU
         # either way).  The kernel stays available via impl='pallas'.
         impl = "xla"
-    if impl == "pallas" and bias is None and not want_dropout and segments is None:
+    if impl == "pallas" and bias is None and not want_dropout:
         from multimodal_flows_tpu.ops.pallas_attention import pallas_btc_attention
 
-        return pallas_btc_attention(q, k, v, key_mask, n_head)
+        return pallas_btc_attention(q, k, v, key_mask, segments, n_head)
     return _xla_attention_btc(q, k, v, n_head, bias, key_mask,
                               dropout_rate, dropout_rng,
                               unnormalized_softmax=unnormalized_softmax,

@@ -198,7 +198,7 @@ pallas_set_attention.defvjp(_fwd, _bwd)
 BTC_BLOCK_B = 16
 
 
-def _btc_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
+def _btc_kernel(q_ref, k_ref, v_ref, mask_ref, seg_ref, o_ref, *, scale: float,
                 block_b: int, n_head: int, hs: int, T: int, precision):
     """Lane-masked head packing: per jet, q/k/v rows are replicated H times
     with each replica keeping only its head's lanes (zeros elsewhere), so
@@ -237,6 +237,16 @@ def _btc_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
         s = s + block_penalty
         if mask_ref is not None:
             s = s + mask_ref[b, 0][None, :]                       # (1, H*T), pre-tiled
+        if seg_ref is not None:
+            # packed multi-jet rows: attention restricted to same-segment
+            # pairs (block-diagonal within the row).  Segment ids arrive
+            # pre-tiled to (1, H*T) like the key mask; the pairwise
+            # comparison lives and dies in VMEM (the XLA path materializes
+            # the (B,1,T,T) comparison only inside the fused softmax, but
+            # still round-trips the (B,H,T,T) scores through HBM).
+            seg = seg_ref[b, 0]                                   # (H*T,)
+            same = seg[:, None] == seg[None, :]
+            s = jnp.where(same, s, jnp.float32(-1e9))
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -247,19 +257,22 @@ def _btc_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
         o_ref[b] = o.reshape(n_head, T, -1).sum(axis=0).astype(o_ref.dtype)
 
 
-def _btc_dispatch(*refs, scale, block_b, n_head, hs, T, precision, has_mask):
-    if has_mask:
-        q_ref, k_ref, v_ref, mask_ref, o_ref = refs
-    else:
-        (q_ref, k_ref, v_ref, o_ref), mask_ref = refs, None
-    _btc_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, scale=scale,
-                block_b=block_b, n_head=n_head, hs=hs, T=T,
+def _btc_dispatch(*refs, scale, block_b, n_head, hs, T, precision, has_mask,
+                  has_seg):
+    i = 3
+    mask_ref = refs[i] if has_mask else None
+    i += int(has_mask)
+    seg_ref = refs[i] if has_seg else None
+    i += int(has_seg)
+    o_ref = refs[i]
+    _btc_kernel(refs[0], refs[1], refs[2], mask_ref, seg_ref, o_ref,
+                scale=scale, block_b=block_b, n_head=n_head, hs=hs, T=T,
                 precision=precision)
 
 
 def _btc_forward(q: Array, k: Array, v: Array, key_mask: Optional[Array],
                  n_head: int, block_b: int, interpret: bool,
-                 precision=None) -> Array:
+                 precision=None, segments: Optional[Array] = None) -> Array:
     B, T, C = q.shape
     hs = C // n_head
     scale = 1.0 / float(hs) ** 0.5
@@ -271,19 +284,28 @@ def _btc_forward(q: Array, k: Array, v: Array, key_mask: Optional[Array],
         return pl.BlockSpec((block_b, T, C), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    def row_spec():
+        # pre-tiled to (B, 1, H*T): the head-packed scores are (H*T, H*T)
+        # and Mosaic cannot concatenate 1-D vectors in-kernel
+        return pl.BlockSpec((block_b, 1, n_head * T), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     in_specs = [spec(), spec(), spec()]
     args = [q, k, v]
     if key_mask is not None:
-        # pre-tiled to (B, 1, H*T): the head-packed scores are (H*T, H*T)
-        # and Mosaic cannot concatenate 1-D vectors in-kernel
-        in_specs.append(pl.BlockSpec((block_b, 1, n_head * T),
-                                     lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(row_spec())
         args.append(jnp.tile(key_mask.astype(jnp.float32), (1, n_head))[:, None, :])
+    if segments is not None:
+        # segment ids as float32 (small ints compare exactly); pads are -1
+        # and attend only each other — their outputs are masked downstream,
+        # matching the XLA packed path (`ops/attention.py:segments`)
+        in_specs.append(row_spec())
+        args.append(jnp.tile(segments.astype(jnp.float32), (1, n_head))[:, None, :])
 
     kernel = functools.partial(_btc_dispatch, scale=scale, block_b=block_b,
                                n_head=n_head, hs=hs, T=T, precision=precision,
-                               has_mask=key_mask is not None)
+                               has_mask=key_mask is not None,
+                               has_seg=segments is not None)
     return pl.pallas_call(
         kernel,
         grid=(B // block_b,),
@@ -300,33 +322,39 @@ def _btc_forward(q: Array, k: Array, v: Array, key_mask: Optional[Array],
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def pallas_btc_attention(q, k, v, key_mask=None, n_head: int = 4,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def pallas_btc_attention(q, k, v, key_mask=None, segments=None,
+                         n_head: int = 4,
                          block_b: int = BTC_BLOCK_B, interpret: bool = False,
                          precision=None):
     """Fused token-major attention. q/k/v: (B, T, C) with heads packed in
-    C; key_mask: (B, T) additive (0 / -1e9).  `interpret=True` runs the
-    kernel in Pallas interpret mode (CPU) for parity tests; pass
+    C; key_mask: (B, T) additive (0 / -1e9); segments: (B, T) int ids
+    (pads -1) restricting attention to same-segment pairs (packed
+    multi-jet rows).  `interpret=True` runs the kernel in Pallas interpret
+    mode (CPU) for parity tests; pass
     `precision=jax.lax.Precision.HIGHEST` for true-fp32 MXU passes
     (exactness tests — default matches XLA's bf16-pass matmuls)."""
     return _btc_forward(q, k, v, key_mask, n_head, block_b, interpret,
-                        precision)
+                        precision, segments)
 
 
-def _btc_vjp_fwd(q, k, v, key_mask, n_head, block_b, interpret, precision):
-    out = _btc_forward(q, k, v, key_mask, n_head, block_b, interpret, precision)
-    return out, (q, k, v, key_mask)
+def _btc_vjp_fwd(q, k, v, key_mask, segments, n_head, block_b, interpret,
+                 precision):
+    out = _btc_forward(q, k, v, key_mask, n_head, block_b, interpret,
+                       precision, segments)
+    return out, (q, k, v, key_mask, segments)
 
 
 def _btc_vjp_bwd(n_head, block_b, interpret, precision, res, g):
-    q, k, v, key_mask = res
+    q, k, v, key_mask, segments = res
     from multimodal_flows_tpu.ops.attention import _xla_attention_btc
 
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention_btc(
-        q_, k_, v_, n_head, None, key_mask), q, k, v)
+        q_, k_, v_, n_head, None, key_mask, segments=segments), q, k, v)
     dq, dk, dv = vjp(g)
     dmask = None if key_mask is None else jnp.zeros_like(key_mask)
-    return dq, dk, dv, dmask
+    dseg = None if segments is None else jnp.zeros_like(segments)
+    return dq, dk, dv, dmask, dseg
 
 
 pallas_btc_attention.defvjp(_btc_vjp_fwd, _btc_vjp_bwd)

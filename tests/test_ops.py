@@ -104,11 +104,11 @@ def test_pallas_btc_interpret_parity_and_grads():
     km = jnp.where(mask[..., 0] > 0, 0.0, -1e9).astype(jnp.float32)
 
     ref = _xla_attention_btc(q, k, v, H, None, km)
-    out = pallas_btc_attention(q, k, v, km, H, 16, True)
+    out = pallas_btc_attention(q, k, v, km, None, H, 16, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
     g_pal = jax.grad(lambda a, b, c: (
-        pallas_btc_attention(a, b, c, km, H, 16, True) ** 2).sum(),
+        pallas_btc_attention(a, b, c, km, None, H, 16, True) ** 2).sum(),
         argnums=(0, 1, 2))(q, k, v)
     g_xla = jax.grad(lambda a, b, c: (
         _xla_attention_btc(a, b, c, H, None, km) ** 2).sum(),
@@ -118,7 +118,7 @@ def test_pallas_btc_interpret_parity_and_grads():
 
     # no-mask path
     ref2 = _xla_attention_btc(q, k, v, H, None, None)
-    out2 = pallas_btc_attention(q, k, v, None, H, 16, True)
+    out2 = pallas_btc_attention(q, k, v, None, None, H, 16, True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-5)
 
 
@@ -152,3 +152,32 @@ def test_unnormalized_softmax_matches_safe_softmax():
 
     # full rows of pad keys on pad queries stay finite
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pallas_btc_segments_interpret_parity():
+    """Segment-masked (packed multi-jet row) fused attention: interpret-
+    mode forward + grad parity vs the XLA segments path, with pads as
+    segment -1 (they attend only each other; outputs masked downstream)."""
+    from multimodal_flows_tpu.ops.attention import _xla_attention_btc
+    from multimodal_flows_tpu.ops.pallas_attention import pallas_btc_attention
+
+    B, T, C, H = 8, 12, 32, 4
+    q, k, v = _btc_qkv(B, T, C)
+    # packed rows: jets of width 5, 4, and 3 pads per row
+    seg = np.full((B, T), -1, np.int32)
+    seg[:, :5] = 0
+    seg[:, 5:9] = 1
+    seg = jnp.asarray(seg)
+
+    ref = _xla_attention_btc(q, k, v, H, None, None, segments=seg)
+    out = pallas_btc_attention(q, k, v, None, seg, H, 16, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g_pal = jax.grad(lambda a, b, c: (
+        pallas_btc_attention(a, b, c, None, seg, H, 16, True) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(lambda a, b, c: (
+        _xla_attention_btc(a, b, c, H, None, None, segments=seg) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pal, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
