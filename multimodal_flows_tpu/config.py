@@ -151,7 +151,13 @@ class Config:
                                                  # quality (CLOSURE_r03: W1(pt) 15.6
                                                  # for `best` vs 0.82 for `last`)
     physics_eval_num_jets: int = 2000
-    physics_eval_num_timesteps: int = 50
+    physics_eval_num_timesteps: int = 250        # few-step quality anti-correlates
+                                                 # with many-step quality near the
+                                                 # cosine tail: at 50 steps the slot
+                                                 # mis-ranked the r04 flagship while
+                                                 # >=250 reproduces the 50k-jet
+                                                 # 500-step ground-truth ranking
+                                                 # (scripts/physeval_protocol_r04.py)
     log_every_n_steps: int = 50
     use_wandb: bool = False                      # extra Weights & Biases metric
                                                  # sink (offline-first; gated on

@@ -129,7 +129,10 @@ def main(argv=None):
         use_ema_weights=True, multitask_loss="time-weighted",
         packed_training=True, pack_width=128,
         physics_eval_every_n_epochs=args.physics_every,
-        physics_eval_num_jets=2000, physics_eval_num_timesteps=50,
+        # NOTE: the committed r04 artifact ran this at 50 steps; the protocol
+        # study (physeval_protocol_r04.py, CLOSURE_r04.md) measured 50-step
+        # ranking to invert near the cosine tail — reruns use the fixed 250.
+        physics_eval_num_jets=2000, physics_eval_num_timesteps=250,
         metadata=metadata, dir=args.workdir, project="closure", seed=0,
         save_top_k=args.save_top_k,
         checkpoint_every_n_epochs=args.ckpt_every,

@@ -107,7 +107,7 @@ def experiment_configs(argv=None) -> Config:
                         "a `best_physics` slot (the val-loss monitors "
                         "mis-rank sample quality, CLOSURE_r03)")
     p.add_argument("--physics_eval_num_jets", type=int, default=2000)
-    p.add_argument("--physics_eval_num_timesteps", type=int, default=50)
+    p.add_argument("--physics_eval_num_timesteps", type=int, default=250)
     p.add_argument("--use_wandb", action="store_true", default=False,
                    help="extra Weights & Biases metric sink (offline-first; "
                         "requires the wandb package — the online-tracker UX "
