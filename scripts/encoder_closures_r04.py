@@ -265,14 +265,19 @@ def _write_md(args, results):
                      f"{r['final_val_loss']:.4f}")
         if r["lambda_u"] is not None:
             lines.append(f"- learned pairwise gate lambda_u = {r['lambda_u']}")
-        if "w1_flavor" in m:
+        # report only each system's MODELED modality (the other stream is
+        # carried from the source/test jets and would score near-zero)
+        if "w1_flavor" in m and r["modes"] in ("discrete", "both"):
             worst = sorted(m["w1_flavor"].items(), key=lambda kv: -kv[1])[:4]
             lines.append("- W1 flavor multiplicities (worst 4): "
                          + ", ".join(f"{k}={v:.3f}" for k, v in worst))
-        if "w1_kinematics" in m:
+        if "w1_kinematics" in m and r["modes"] in ("continuous", "both"):
             lines.append("- W1 kinematics: "
                          + ", ".join(f"{k}={v:.4f}"
                                      for k, v in m["w1_kinematics"].items()))
+        if r["modes"] == "discrete":
+            lines.append(f"- W1 multiplicity (token stream): "
+                         f"{m['w1_flavor']['multiplicity']:.4f}")
         lines.append(f"- sampler throughput: {m.get('jets_per_sec', 0):.1f} "
                      f"jets/s @{m.get('num_timesteps')} steps")
         lines.append("")
