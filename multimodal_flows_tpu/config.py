@@ -157,7 +157,11 @@ class Config:
                                                  # mis-ranked the r04 flagship while
                                                  # >=250 reproduces the 50k-jet
                                                  # 500-step ground-truth ranking
-                                                 # (scripts/physeval_protocol_r04.py)
+                                                 # (scripts/physeval_protocol_r04.py,
+                                                 # validated in-training by
+                                                 # CLOSURE_r05).  ~5x the per-eval
+                                                 # cost of the old 50-step protocol
+                                                 # (~5 s vs ~1 s warm per eval)
     log_every_n_steps: int = 50
     use_wandb: bool = False                      # extra Weights & Biases metric
                                                  # sink (offline-first; gated on

@@ -36,6 +36,24 @@ _IMPL_DEFAULT = "auto"
 #: selection if trained qk-LN gains ever pushed scores past the clamp).
 _FAST_INFERENCE_SOFTMAX = False
 
+#: global kill switch: when True, `fast_inference_softmax()` becomes a
+#: no-op so the sampling drivers run the exact softmax.  Exists for the
+#: trained-scale A/B equivalence test (scripts/ab_fast_softmax_r05.py)
+#: and debugging; the generator includes it in its jit-cache signature so
+#: flipping it retraces instead of silently reusing the other variant.
+_FAST_INFERENCE_FORCE_OFF = False
+
+
+def force_exact_softmax(force_off: bool = True) -> None:
+    global _FAST_INFERENCE_FORCE_OFF
+    _FAST_INFERENCE_FORCE_OFF = force_off
+
+
+def fast_softmax_would_apply() -> bool:
+    """Whether a sampling driver entering `fast_inference_softmax()` will
+    actually get the unnormalized path (i.e. the kill switch is off)."""
+    return not _FAST_INFERENCE_FORCE_OFF
+
 
 def set_default_impl(impl: str) -> None:
     global _IMPL_DEFAULT
@@ -53,7 +71,7 @@ class fast_inference_softmax:
     def __enter__(self):
         global _FAST_INFERENCE_SOFTMAX
         self._prev = _FAST_INFERENCE_SOFTMAX
-        _FAST_INFERENCE_SOFTMAX = self.enabled
+        _FAST_INFERENCE_SOFTMAX = self.enabled and not _FAST_INFERENCE_FORCE_OFF
         return self
 
     def __exit__(self, *exc):

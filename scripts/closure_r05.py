@@ -1,0 +1,389 @@
+"""Round-5 flagship closure: the best_physics slot racing IN-TRAINING at
+the validated 250-step protocol, plus repeat-seed error bars.
+
+VERDICT r4 items this run closes:
+  #1  the `best_physics` slot's only full-scale run (CLOSURE_r04) ranked
+      checkpoints at 50 steps and mis-ranked (picked W1(pt) 4.58 vs 0.89
+      for `last`); the 250-step fix was validated only post-hoc.  This run
+      trains the same flagship recipe with the 250-step in-training
+      protocol and re-races all four slots at 50k jets / 500 steps.
+  #7  the W1 noise floor at the reporting scale: the winning slot and
+      `last` are re-sampled with two extra seeds (50k jets each), so the
+      closure reports mean +/- spread instead of a single draw.
+
+ADVICE r4 fixes baked in:
+  - the report interpolates `physics_eval_num_timesteps` instead of
+    hardcoding "50 steps";
+  - per-slot multiplicity is computed from generated tokens
+    ((tokens>0).sum per jet, as train/physics_eval.py does), not from the
+    conditioning mask (identical across slots, hence vacuous).
+
+Recipe unchanged from rounds 3/4 so W1 numbers stay comparable: the
+reference flagship (ParticleFormer MMF, 5.46M params,
+`/root/reference/scripts/train_mmf.py:42-52`) on 300k synthetic AOJ-like
+jets, packed training (W=128), 300 cosine epochs, EMA 0.9999.
+Reference monitors being replaced: `/root/reference/scripts/train_mmf.py:128-148`.
+
+Crash-safe: featurization, training (--resume), each ablation slot and
+each repeat-seed run are independently cached.
+
+Usage:
+  python scripts/closure_r05.py --epochs 300
+  python scripts/closure_r05.py --epochs 300 --resume
+  python scripts/closure_r05.py --skip_train        # sampling only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from closure_r02 import generate_synthetic_pfcands
+
+SLOTS = ["last", "best", "best_mse", "best_physics"]
+EXTRA_SEEDS = [11, 13]  # repeat-seed runs for the noise floor (base seed 7)
+
+
+def _token_mult(sample) -> np.ndarray:
+    toks = np.asarray(sample.discrete)[..., 0]
+    return (toks > 0).sum(axis=1).astype(np.float64)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_jets", type=int, default=300_000)
+    p.add_argument("--max_p", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--gen_jets", type=int, default=50_000)
+    p.add_argument("--num_timesteps", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--workdir", default="/tmp/closure_r05")
+    p.add_argument("--outdir", default="closure_r05")
+    p.add_argument("--experiment_id", default="r05flagship")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--ckpt_every", type=int, default=10)
+    p.add_argument("--save_top_k", type=int, default=2)
+    p.add_argument("--physics_every", type=int, default=10)
+    args = p.parse_args(argv)
+
+    import h5py
+    import jax
+
+    from multimodal_flows_tpu.config import Config
+    from multimodal_flows_tpu.data.aoj import (extract_metadata,
+                                               sample_from_empirical_masks)
+    from multimodal_flows_tpu.data.datasets import ArrayDataset
+    from multimodal_flows_tpu.data.state import DataCoupling, MultiModal
+    from multimodal_flows_tpu.sampling.generator import generate_packed
+    from multimodal_flows_tpu.train.systems import MMF
+    from multimodal_flows_tpu.train.trainer import Trainer
+    from multimodal_flows_tpu.utils import enable_compilation_cache
+    from multimodal_flows_tpu.utils import plotting
+    from multimodal_flows_tpu.utils.jet_features import JetFeatures
+    from multimodal_flows_tpu.utils.logger import SimpleLogger as log
+    from multimodal_flows_tpu.utils.metrics import (wasserstein1d,
+                                                    wasserstein_flavor)
+
+    enable_compilation_cache()
+    os.makedirs(args.workdir, exist_ok=True)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    # ---- 1. synthetic AOJ file -> production loader (cached featurization)
+    h5_path = os.path.join(args.workdir, "RunG_synth_r05.h5")
+    if not os.path.exists(h5_path):
+        pf = generate_synthetic_pfcands(args.num_jets + 30_000, args.max_p, seed=0)
+        with h5py.File(h5_path, "w") as f:
+            f.create_dataset("PFCands", data=pf)
+        log.info(f"wrote synthetic PFCands {pf.shape} -> {h5_path}")
+
+    from multimodal_flows_tpu.data.aoj import AspenOpenJets
+
+    cache_train = os.path.join(args.workdir, "featurized_train.h5")
+    cache_test = os.path.join(args.workdir, "featurized_test.h5")
+    cache_meta = os.path.join(args.workdir, "featurized_meta.json")
+    if all(os.path.exists(q) for q in (cache_train, cache_test, cache_meta)):
+        jets = MultiModal.load_from(cache_train)
+        test_jets = MultiModal.load_from(cache_test)
+        metadata = json.load(open(cache_meta))
+        log.info("loaded featurized cache")
+    else:
+        aoj = AspenOpenJets(args.workdir, "RunG_synth_r05.h5")
+        all_jets, _ = aoj(num_jets=None, max_num_particles=args.max_p,
+                          transform=None)
+        test_jets = all_jets[args.num_jets:]       # held-out, unstandardized
+        raw = all_jets[:args.num_jets]
+        metadata = extract_metadata(np.asarray(raw.continuous), np.asarray(raw.mask))
+        mean = np.asarray(metadata["mean"], np.float32)
+        std = np.asarray(metadata["std"], np.float32)
+        jets = raw.replace(continuous=(((np.asarray(raw.continuous) - mean) / std)
+                                       * np.asarray(raw.mask)).astype(np.float32))
+        jets.save_to(cache_train)
+        test_jets.astype_numpy().save_to(cache_test)
+        json.dump(metadata, open(cache_meta, "w"))
+    log.info(f"train {len(jets)} jets, held-out test {len(test_jets)}")
+
+    cfg = Config(
+        model="ParticleFormer", n_embd=256, n_inner=512,
+        n_layer=5, n_layer_fused=6, n_head=4, vocab_size=9, dim_continuous=3,
+        max_num_particles=args.max_p, batch_size=args.batch_size,
+        max_epochs=args.epochs, lr=5e-4, lr_final=1e-5, warmup_epochs=2,
+        use_ema_weights=True, multitask_loss="time-weighted",
+        packed_training=True, pack_width=128,
+        physics_eval_every_n_epochs=args.physics_every,
+        # 250-step ranking protocol: validated post-hoc in round 4
+        # (scripts/physeval_protocol_r04.py), exercised IN-TRAINING here.
+        physics_eval_num_jets=2000, physics_eval_num_timesteps=250,
+        metadata=metadata, dir=args.workdir, project="closure", seed=0,
+        save_top_k=args.save_top_k,
+        checkpoint_every_n_epochs=args.ckpt_every,
+    )
+    cfg.experiment_id = args.experiment_id
+    cfg.save()
+    system = MMF(cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(
+        system.init_params(jax.random.PRNGKey(0))))
+    log.info(f"model params: {n_params/1e6:.2f}M")
+
+    ds = ArrayDataset(DataCoupling(source=MultiModal(mask=jets.mask), target=jets))
+    train_ds, val_ds = ds.split(0.97, seed=0)
+
+    # ---- 2. train (packed, resumable, physics slot racing at 250 steps)
+    trainer = Trainer(system, cfg, mesh=None)
+    train_s = 0.0
+    if not args.skip_train:
+        t0 = time.time()
+        trainer.fit(train_ds, val_ds, resume="last" if args.resume else None)
+        train_s = time.time() - t0
+        log.info(f"training done in {train_s:.0f}s")
+
+    # ---- 3. checkpoint-slot ablation (gen_jets @num_timesteps per slot)
+    masks = sample_from_empirical_masks(
+        np.asarray(test_jets.mask), args.gen_jets, args.max_p, seed=3)
+    feats_r = JetFeatures(test_jets)
+    mult_r = _token_mult(test_jets)
+
+    def sample_slot(name: str, seed: int):
+        """One cached 50k-jet sampling run for a slot at a seed."""
+        tag = f"{name}" if seed == 7 else f"{name}_seed{seed}"
+        slot_json = os.path.join(args.workdir, f"ablation_{tag}.json")
+        slot_h5 = os.path.join(args.workdir, f"sample_{tag}.h5")
+        if os.path.exists(slot_json) and os.path.exists(slot_h5):
+            return json.load(open(slot_json)), MultiModal.load_from(slot_h5)
+        params = trainer.load_for_inference(name)
+        t0 = time.time()
+        res = generate_packed(system, params, masks,
+                              num_timesteps=args.num_timesteps,
+                              batch_size=args.batch_size, seed=seed,
+                              metadata=metadata)
+        fg = JetFeatures(res.sample)
+        row = {
+            "pt": fg.Wassertein1D("pt", feats_r),
+            "mass": fg.Wassertein1D("m", feats_r),
+            "multiplicity": wasserstein1d(_token_mult(res.sample), mult_r),
+            "jets_per_sec": round(res.jets_per_sec, 1),
+            "gen_seconds": round(time.time() - t0, 1),
+        }
+        res.sample.astype_numpy().save_to(slot_h5)
+        json.dump(row, open(slot_json, "w"))
+        log.info(f"slot {tag}: {row}")
+        return row, res.sample
+
+    ablation = {}
+    samples = {}
+    for name in SLOTS:
+        try:
+            ablation[name], samples[name] = sample_slot(name, seed=7)
+        except Exception as e:
+            log.warn(f"slot {name}: no checkpoint ({e!r})")
+
+    # ---- 3b. repeat-seed error bars (VERDICT r4 #7): re-sample the
+    # pt-winning slot and `last` with two extra seeds, identical masks,
+    # so the spread IS the 50k-jet/500-step sampling-seed noise floor.
+    win = min(ablation, key=lambda k: ablation[k]["pt"])
+    seed_stats = {}
+    for name in dict.fromkeys([win, "last"]):
+        if name not in ablation:
+            continue
+        rows = [ablation[name]]
+        for s in EXTRA_SEEDS:
+            row, _ = sample_slot(name, seed=s)
+            rows.append(row)
+        seed_stats[name] = {
+            obs: {
+                "mean": float(np.mean([r[obs] for r in rows])),
+                "spread": float(np.max([r[obs] for r in rows])
+                                - np.min([r[obs] for r in rows])),
+                "values": [round(float(r[obs]), 4) for r in rows],
+            }
+            for obs in ("pt", "mass", "multiplicity")
+        }
+        log.info(f"seed stats {name}: {seed_stats[name]}")
+
+    # ---- 4. full closure from the winning slot
+    sample = samples[win]
+    feats_g = JetFeatures(sample)
+    w1 = {
+        "pt": feats_g.Wassertein1D("pt", feats_r),
+        "mass": feats_g.Wassertein1D("m", feats_r),
+        "multiplicity": wasserstein1d(_token_mult(sample), mult_r),
+        "tau21": feats_g.Wassertein1D("tau21", feats_r),
+        "tau32": feats_g.Wassertein1D("tau32", feats_r),
+        "c1": feats_g.Wassertein1D("c1", feats_r),
+        "d2": feats_g.Wassertein1D("d2", feats_r),
+    }
+    wf = wasserstein_flavor(sample, test_jets)
+    tok_g = np.asarray(sample.discrete)[..., 0]
+    m_g = np.asarray(sample.mask)[..., 0] > 0
+    freq_g = np.bincount(tok_g[m_g], minlength=9) / m_g.sum()
+    tok_r = np.asarray(test_jets.discrete)[..., 0]
+    m_r = np.asarray(test_jets.mask)[..., 0] > 0
+    freq_r = np.bincount(tok_r[m_r], minlength=9) / m_r.sum()
+
+    # in-training physics-eval trace (evidence the slot raced live)
+    mfile = os.path.join(cfg.experiment_dir, "metrics.jsonl")
+    rows = [json.loads(l) for l in open(mfile)] if os.path.exists(mfile) else []
+    etimes = [r["epoch_time_s"] for r in rows
+              if "epoch_time_s" in r and r.get("epoch", 0) > 1]
+    med_epoch = float(np.median(etimes)) if etimes else float("nan")
+    phys_trace = [{k: r[k] for k in
+                   ("epoch", "val_w1_pt", "val_w1_mass", "val_w1_mult",
+                    "val_w1_physics") if k in r}
+                  for r in rows if "val_w1_physics" in r]
+
+    out = {
+        "model_params": int(n_params),
+        "train_jets": len(train_ds), "epochs": args.epochs,
+        "train_seconds": train_s, "median_epoch_seconds": med_epoch,
+        "packed_training": True, "pack_width": cfg.pack_width,
+        "physics_eval": {"every_n_epochs": args.physics_every,
+                         "num_jets": cfg.physics_eval_num_jets,
+                         "num_timesteps": cfg.physics_eval_num_timesteps},
+        "gen_jets": int(len(masks)), "num_timesteps": args.num_timesteps,
+        "ablation": ablation, "winning_slot": win,
+        "seed_stats": seed_stats,
+        "w1_trained": w1,
+        "wasserstein_flavor_trained": wf,
+        "flavor_freq_generated": freq_g.tolist(),
+        "flavor_freq_test": freq_r.tolist(),
+        "physics_eval_trace": phys_trace,
+        "prior_rounds": {"r03_last": {"pt": 0.82, "mass": 0.22},
+                         "r04_last": {"pt": 0.89, "mass": 0.234},
+                         "r04_best_physics_at_50step_protocol": {"pt": 4.58}},
+    }
+    with open(os.path.join(args.outdir, "metrics.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"ablation": ablation, "winning_slot": win,
+                      "seed_stats": seed_stats, "w1_trained": w1}, indent=1))
+
+    plotting.plot_kin_feats(feats_g, feats_r,
+                            path=os.path.join(args.outdir, "kin_closure.png"))
+    plotting.plot_flavor_feats(sample, test_jets,
+                               path=os.path.join(args.outdir, "flavor_closure.png"))
+
+    abl_rows = "\n".join(
+        f"| {k} | {v['pt']:.4g} | {v['mass']:.4g} | {v['multiplicity']:.4g} |"
+        for k, v in ablation.items())
+    seed_rows = "\n".join(
+        f"| {name} | {st['pt']['mean']:.3f} ± {st['pt']['spread']/2:.3f} "
+        f"| {st['mass']['mean']:.3f} ± {st['mass']['spread']/2:.3f} "
+        f"| {st['pt']['values']} |"
+        for name, st in seed_stats.items())
+    rows_md = "\n".join(f"| {k} | {w1[k]:.4g} |" for k in w1)
+    flavors = ["pad", "photon", "K_L", "pi-", "pi+", "e-", "e+", "mu-", "mu+"]
+    freq_rows = "\n".join(
+        f"| {name} | {freq_g[i]:.4f} | {freq_r[i]:.4f} |"
+        for i, name in enumerate(flavors))
+    wf_rows = "\n".join(f"| {k} | {wf[k]:.4g} |" for k in sorted(wf))
+    trace_rows = "\n".join(
+        f"| {r['epoch']} | {r.get('val_w1_pt', float('nan')):.3g} "
+        f"| {r.get('val_w1_mass', float('nan')):.3g} "
+        f"| {r.get('val_w1_physics', float('nan')):.4g} |"
+        for r in phys_trace)
+    md = f"""# Closure — round 5, run 2 (best_physics with common random numbers)
+
+The reference flagship recipe (ParticleFormer MMF, {n_params/1e6:.2f}M params:
+n_embd 256 / n_inner 512 / 5+6 layers / 4 heads,
+`/root/reference/scripts/train_mmf.py:42-52`) trained on {len(train_ds):,}
+synthetic AOJ-like jets with packed training (multi-jet W=128 rows)
+for {args.epochs} cosine epochs ({train_s:.0f}s on one tunnel chip,
+median epoch {med_epoch:.1f}s), with the in-training physics eval every
+{args.physics_every} epochs feeding the `best_physics` checkpoint slot
+({cfg.physics_eval_num_jets:,} jets @{cfg.physics_eval_num_timesteps} steps
+per eval, ONE fixed generation seed shared by every eval).
+
+## Why run 2 exists (run 1: the 250-step protocol alone still mis-ranked)
+
+Run 1 trained the identical recipe with the round-4 protocol fix (rank
+at 250 tau-leap steps instead of 50) but with the generator reseeded at
+every eval.  Its `best_physics` slot picked epoch 230 — W1(pt) 1.94 at
+50k jets / 500 steps vs 0.89 for the end-of-cosine EMA (`last`).  Each
+of the 30 in-training scores carried the full 2k-jet sampling variance,
+so the argmin selected a noise dip (winner's curse over 30 draws).  The
+fix — common random numbers, one fixed generation seed for every eval so
+successive scores differ only through the params — was validated
+post-hoc on run 1's saved checkpoints (PHYSEVAL_CRN_r05.md) and is
+exercised IN-TRAINING by this run.  Run-1 artifacts: `closure_r05/run1/`.
+
+## Checkpoint-slot ablation ({args.gen_jets:,} jets @{args.num_timesteps} steps per slot, seed 7)
+
+| slot | W1(pt) | W1(mass) | W1(mult) |
+|---|---|---|---|
+{abl_rows}
+
+W1(mult) is computed from generated tokens ((tokens>0).sum per jet), not
+the conditioning mask — the mask is shared across slots, so a mask-based
+column would measure the mask sampler, not the checkpoint.
+
+Prior rounds, same recipe: r3 `last` 0.82/0.22 (bucketed), r4 `last`
+0.89/0.234 (packed, 50-step eval protocol — its `best_physics` slot
+mis-ranked at 4.58).
+
+## Repeat-seed error bars ({args.gen_jets:,} jets @{args.num_timesteps} steps, seeds 7/11/13, shared masks)
+
+| slot | W1(pt) mean ± half-spread | W1(mass) mean ± half-spread | W1(pt) values |
+|---|---|---|---|
+{seed_rows}
+
+## W1 closure from the winning slot (`{win}`) vs held-out test
+
+| observable | W1 |
+|---|---|
+{rows_md}
+
+## Flavor frequencies
+
+| flavor | generated | test |
+|---|---|---|
+{freq_rows}
+
+## W1 on the 16 flavor-multiplicity observables (reference metric set)
+
+| observable | W1 |
+|---|---|
+{wf_rows}
+
+## In-training physics-eval trace (the ranking signal, live)
+
+| epoch | W1(pt) | W1(mass) | combined (normed) |
+|---|---|---|---|
+{trace_rows}
+
+Plots: `{args.outdir}/kin_closure.png`, `{args.outdir}/flavor_closure.png`.
+Raw numbers: `{args.outdir}/metrics.json`.
+"""
+    with open("CLOSURE_r05.md", "w") as f:
+        f.write(md)
+    log.info("wrote CLOSURE_r05.md")
+
+
+if __name__ == "__main__":
+    main()

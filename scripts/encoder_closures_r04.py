@@ -275,7 +275,7 @@ def _write_md(args, results):
             lines.append("- W1 kinematics: "
                          + ", ".join(f"{k}={v:.4f}"
                                      for k, v in m["w1_kinematics"].items()))
-        if r["modes"] == "discrete":
+        if r["modes"] == "discrete" and "w1_flavor" in m:
             lines.append(f"- W1 multiplicity (token stream): "
                          f"{m['w1_flavor']['multiplicity']:.4f}")
         lines.append(f"- sampler throughput: {m.get('jets_per_sec', 0):.1f} "

@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--temps", type=float, nargs="*", default=[0.8, 1.0, 1.2])
     p.add_argument("--outdir", default=os.path.join(REPO, "sweep_r04"))
     p.add_argument("--out_md", default=os.path.join(REPO, "SWEEP_r04.md"))
+    p.add_argument("--synth_file", default="RunG_synth_r04.h5",
+                   help="raw synthetic PFCands file inside --workdir")
+    p.add_argument("--round_label", default="round 4")
+    p.add_argument("--train_jets", type=int, default=300_000,
+                   help="head of --synth_file used for training; the rest "
+                        "is the strict held-out scoring slice")
     p.add_argument("--analysis_only", action="store_true")
     args = p.parse_args(argv)
 
@@ -53,11 +59,11 @@ def main(argv=None):
     # W1 against the head of -f; the training file's head is train data)
     import h5py
 
-    test_file = "RunG_synth_r04_heldout.h5"
+    test_file = args.synth_file.replace(".h5", "_heldout.h5")
     test_path = os.path.join(args.workdir, test_file)
     if not os.path.exists(test_path):
-        with h5py.File(os.path.join(args.workdir, "RunG_synth_r04.h5")) as f:
-            pf = f["PFCands"][300_000:]
+        with h5py.File(os.path.join(args.workdir, args.synth_file)) as f:
+            pf = f["PFCands"][args.train_jets:]
         with h5py.File(test_path, "w") as f:
             f.create_dataset("PFCands", data=pf)
         print(f"wrote held-out slice {pf.shape} -> {test_path}", flush=True)
@@ -181,13 +187,14 @@ def main(argv=None):
         except Exception as e:  # plotting must never sink the sweep
             print(f"plot failed: {e!r}", flush=True)
 
-    md = f"""# Reference sampling sweep — round 4
+    outbase = os.path.basename(args.outdir)
+    md = f"""# Reference sampling sweep — {args.round_label}
 
 The reference's published workload (README:41, `sample_mmf.py:29-31,
 153-164`): **{args.num_jets:,} jets x num_timesteps {args.steps} x
 temperature {args.temps}**, through the production CLI against the
-round-4 flagship (packed training + `best_physics` slot run,
-CLOSURE_r04.md), sampled from the end-of-cosine EMA (`last`).  NEW vs
+{args.round_label} flagship (packed training + `best_physics` slot run),
+sampled from the end-of-cosine EMA (`last`).  NEW vs
 SWEEP_r03: W1 is scored against a STRICT held-out slice (the last 30k
 jets of the synthetic file, never trained on) instead of the file head.
 
@@ -212,8 +219,8 @@ at T=1.0 the same checkpoint closes.  Default stays T=1.0 (the
 reference's default, `sample_mmf.py:47`); T<1 is a mode-seeking knob
 that trades diversity for per-token confidence.
 
-Plot: `sweep_r04/t08_analysis.png` ({'written' if plot_done else 'NOT written'}).
-Raw numbers: `sweep_r04/metrics_*.json`.
+Plot: `{outbase}/t08_analysis.png` ({'written' if plot_done else 'NOT written'}).
+Raw numbers: `{outbase}/metrics_*.json`.
 """
     with open(args.out_md, "w") as f:
         f.write(md)
