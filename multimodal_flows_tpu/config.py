@@ -154,14 +154,24 @@ class Config:
     physics_eval_num_timesteps: int = 250        # few-step quality anti-correlates
                                                  # with many-step quality near the
                                                  # cosine tail: at 50 steps the slot
-                                                 # mis-ranked the r04 flagship while
-                                                 # >=250 reproduces the 50k-jet
-                                                 # 500-step ground-truth ranking
-                                                 # (scripts/physeval_protocol_r04.py,
-                                                 # validated in-training by
-                                                 # CLOSURE_r05).  ~5x the per-eval
-                                                 # cost of the old 50-step protocol
-                                                 # (~5 s vs ~1 s warm per eval)
+                                                 # mis-ranked the r04 flagship;
+                                                 # >=250 tracks the 500-step
+                                                 # ordering (physeval_protocol_r04).
+                                                 # ~5x the per-eval cost of the old
+                                                 # 50-step protocol (~5 s vs ~1 s
+                                                 # warm per eval)
+    physics_eval_margin: float = 0.3             # tie-to-later slot rule: the
+                                                 # best_physics slot holds the
+                                                 # LATEST eval within (1+margin) of
+                                                 # the best score seen; argmin
+                                                 # selection provably mis-ranks at
+                                                 # feasible eval sizes (CRN study,
+                                                 # PHYSEVAL_CRN_r05.md: equal-
+                                                 # quality late checkpoints differ
+                                                 # ~15%/seed at 2k jets, genuinely
+                                                 # worse ones separate by 60%+;
+                                                 # 0.3 sits between).  0 = legacy
+                                                 # argmin
     log_every_n_steps: int = 50
     use_wandb: bool = False                      # extra Weights & Biases metric
                                                  # sink (offline-first; gated on

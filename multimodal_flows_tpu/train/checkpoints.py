@@ -32,11 +32,26 @@ MONITORS = {
 
 class CheckpointManager:
     def __init__(self, ckpt_dir: str, monitors: Optional[Dict[str, str]] = None,
-                 top_k: int = 10):
+                 top_k: int = 10, physics_margin: float = 0.0):
         self.dir = os.path.abspath(ckpt_dir)
         os.makedirs(self.dir, exist_ok=True)
         self.monitors = dict(monitors) if monitors is not None else dict(MONITORS)
         self.top_k = int(top_k)
+        # Tie-to-later selection for the `best_physics` slot (margin > 0):
+        # the slot holds the LATEST checkpoint whose score is within
+        # (1 + margin) of the best score seen, instead of the argmin.
+        # Round 5 measured why argmin cannot work at in-training eval
+        # sizes: under common random numbers, checkpoints of equal true
+        # quality still differ by ~15% per seed at 2k jets while
+        # genuinely-worse ones separate by 60%+ (PHYSEVAL_CRN_r05.md), so
+        # an argmin over ~30 evals selects a noise dip (winner's curse —
+        # CLOSURE_r04/r05 run 1 both mis-ranked).  Under a cosine schedule
+        # quality is monotone-ish, so among statistical ties the later
+        # checkpoint is the right pick; a score beyond the margin
+        # (divergence, late overfit) freezes the slot at the last healthy
+        # epoch — the protection the reference's val-loss monitors
+        # (`scripts/train_mmf.py:128-148`) were meant to give.
+        self.physics_margin = float(physics_margin)
         self._index_path = os.path.join(self.dir, "index.json")
         self.index: Dict[str, Any] = {"best_values": {}, "history": []}
         if os.path.exists(self._index_path):
@@ -118,6 +133,22 @@ class CheckpointManager:
             # for the rest of the run
             if not math.isfinite(value):
                 continue
+            margin_mode = slot == "best_physics" and self.physics_margin > 0
+            if margin_mode:
+                rec = self.index["best_values"].get(slot) or {}
+                best_val = min(value, rec.get("min_value", value))
+                healthy = value <= best_val * (1 + self.physics_margin)
+                if healthy:
+                    # latest healthy checkpoint takes the slot (a real
+                    # directory, independent of the top-k symlink space)
+                    self._save_to(slot, state)
+                    written[slot] = True
+                self.index["best_values"][slot] = {
+                    "min_value": best_val,
+                    "value": value if healthy else rec.get("value"),
+                    "epoch": epoch if healthy else rec.get("epoch"),
+                    "frozen": not healthy,
+                }
             ranked = self.index["topk"].setdefault(slot, [])
             # resume from a non-`last` slot re-runs epochs whose names are
             # already ranked: replace the stale entry instead of appending
@@ -136,7 +167,11 @@ class CheckpointManager:
             del ranked[self.top_k:]
             written[slot + "_topk"] = True
             link = os.path.join(self.dir, slot)
-            if ranked[0]["name"] == entry["name"]:  # new overall best
+            if margin_mode:
+                # the plain slot dir is owned by the tie-to-later rule
+                # above; the ranking here only tracks runners-up by value
+                pass
+            elif ranked[0]["name"] == entry["name"]:  # new overall best
                 # the plain slot (`best`, `best_mse`, ...) is a symlink to
                 # the #1 ranked dir — avoids a second full serialization of
                 # the same pytree every improving epoch.  Re-pointed BEFORE

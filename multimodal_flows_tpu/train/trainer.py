@@ -522,7 +522,8 @@ class Trainer:
 
         exp_dir = cfg.experiment_dir if cfg.experiment_id else os.path.join(cfg.dir, "scratch")
         ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"),
-                                 top_k=cfg.save_top_k)
+                                 top_k=cfg.save_top_k,
+                                 physics_margin=cfg.physics_eval_margin)
         logger = MetricsLogger(
             exp_dir,
             wandb_project=cfg.project if cfg.use_wandb else None,

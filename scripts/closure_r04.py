@@ -46,6 +46,15 @@ from closure_r02 import generate_synthetic_pfcands
 SLOTS = ["last", "best", "best_mse", "best_physics"]
 
 
+def _token_mult(sample):
+    """Multiplicity from GENERATED tokens, not the conditioning mask: all
+    slots share the seed-7 masks, so a mask-based column would measure the
+    mask sampler, not the checkpoint (advisor finding, round 4)."""
+    import numpy as np
+    toks = np.asarray(sample.discrete)[..., 0]
+    return (toks > 0).sum(axis=1).astype(np.float64)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--num_jets", type=int, default=300_000)
@@ -185,9 +194,8 @@ def main(argv=None):
         ablation[name] = {
             "pt": fg.Wassertein1D("pt", feats_r),
             "mass": fg.Wassertein1D("m", feats_r),
-            "multiplicity": wasserstein1d(
-                fg.numParticles.astype(float),
-                feats_r.numParticles.astype(float)),
+            "multiplicity": wasserstein1d(_token_mult(res.sample),
+                                          _token_mult(test_jets)),
             "jets_per_sec": round(res.jets_per_sec, 1),
             "gen_seconds": round(time.time() - t0, 1),
         }
@@ -270,7 +278,8 @@ synthetic AOJ-like jets with **packed training** (multi-jet W=128 rows)
 for {args.epochs} cosine epochs ({train_s:.0f}s on one tunnel chip,
 median epoch {med_epoch:.1f}s vs 30.6s bucketed in round 3), with the
 in-training physics eval every {args.physics_every} epochs feeding the
-`best_physics` checkpoint slot (2k jets @50 steps per eval).
+`best_physics` checkpoint slot ({cfg.physics_eval_num_jets:,} jets
+@{cfg.physics_eval_num_timesteps} steps per eval).
 
 ## Checkpoint-slot ablation ({args.gen_jets:,} jets @{args.num_timesteps} steps per slot)
 

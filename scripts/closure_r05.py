@@ -73,6 +73,7 @@ def main(argv=None):
     p.add_argument("--ckpt_every", type=int, default=10)
     p.add_argument("--save_top_k", type=int, default=2)
     p.add_argument("--physics_every", type=int, default=10)
+    p.add_argument("--physics_margin", type=float, default=0.3)
     args = p.parse_args(argv)
 
     import h5py
@@ -142,6 +143,10 @@ def main(argv=None):
         # 250-step ranking protocol: validated post-hoc in round 4
         # (scripts/physeval_protocol_r04.py), exercised IN-TRAINING here.
         physics_eval_num_jets=2000, physics_eval_num_timesteps=250,
+        # tie-to-later slot rule (run-1 finding: even at 250 steps the
+        # argmin picks a noise dip — PHYSEVAL_CRN_r05.md measured equal-
+        # quality late checkpoints differing ~15%/seed at 2k jets)
+        physics_eval_margin=args.physics_margin,
         metadata=metadata, dir=args.workdir, project="closure", seed=0,
         save_top_k=args.save_top_k,
         checkpoint_every_n_epochs=args.ckpt_every,
@@ -248,6 +253,12 @@ def main(argv=None):
     m_r = np.asarray(test_jets.mask)[..., 0] > 0
     freq_r = np.bincount(tok_r[m_r], minlength=9) / m_r.sum()
 
+    # which epoch each slot ended on (index.json is the selection record)
+    idx_path = os.path.join(cfg.experiment_dir, "checkpoints", "index.json")
+    best_values = {}
+    if os.path.exists(idx_path):
+        best_values = json.load(open(idx_path)).get("best_values", {})
+
     # in-training physics-eval trace (evidence the slot raced live)
     mfile = os.path.join(cfg.experiment_dir, "metrics.jsonl")
     rows = [json.loads(l) for l in open(mfile)] if os.path.exists(mfile) else []
@@ -266,9 +277,11 @@ def main(argv=None):
         "packed_training": True, "pack_width": cfg.pack_width,
         "physics_eval": {"every_n_epochs": args.physics_every,
                          "num_jets": cfg.physics_eval_num_jets,
-                         "num_timesteps": cfg.physics_eval_num_timesteps},
+                         "num_timesteps": cfg.physics_eval_num_timesteps,
+                         "margin": cfg.physics_eval_margin},
         "gen_jets": int(len(masks)), "num_timesteps": args.num_timesteps,
         "ablation": ablation, "winning_slot": win,
+        "slot_epochs": best_values,
         "seed_stats": seed_stats,
         "w1_trained": w1,
         "wasserstein_flavor_trained": wf,
@@ -289,8 +302,15 @@ def main(argv=None):
     plotting.plot_flavor_feats(sample, test_jets,
                                path=os.path.join(args.outdir, "flavor_closure.png"))
 
+    def _slot_epoch(k):
+        if k == "last":
+            return args.epochs
+        rec = best_values.get(k) or {}
+        return rec.get("epoch", "?")
+
     abl_rows = "\n".join(
-        f"| {k} | {v['pt']:.4g} | {v['mass']:.4g} | {v['multiplicity']:.4g} |"
+        f"| {k} | ep{_slot_epoch(k)} | {v['pt']:.4g} | {v['mass']:.4g} "
+        f"| {v['multiplicity']:.4g} |"
         for k, v in ablation.items())
     seed_rows = "\n".join(
         f"| {name} | {st['pt']['mean']:.3f} ± {st['pt']['spread']/2:.3f} "
@@ -318,7 +338,8 @@ for {args.epochs} cosine epochs ({train_s:.0f}s on one tunnel chip,
 median epoch {med_epoch:.1f}s), with the in-training physics eval every
 {args.physics_every} epochs feeding the `best_physics` checkpoint slot
 ({cfg.physics_eval_num_jets:,} jets @{cfg.physics_eval_num_timesteps} steps
-per eval, ONE fixed generation seed shared by every eval).
+per eval, ONE fixed generation seed shared by every eval, tie-to-later
+slot rule with margin {cfg.physics_eval_margin:g}).
 
 ## Why run 2 exists (run 1: the 250-step protocol alone still mis-ranked)
 
@@ -327,16 +348,28 @@ at 250 tau-leap steps instead of 50) but with the generator reseeded at
 every eval.  Its `best_physics` slot picked epoch 230 — W1(pt) 1.94 at
 50k jets / 500 steps vs 0.89 for the end-of-cosine EMA (`last`).  Each
 of the 30 in-training scores carried the full 2k-jet sampling variance,
-so the argmin selected a noise dip (winner's curse over 30 draws).  The
-fix — common random numbers, one fixed generation seed for every eval so
-successive scores differ only through the params — was validated
-post-hoc on run 1's saved checkpoints (PHYSEVAL_CRN_r05.md) and is
-exercised IN-TRAINING by this run.  Run-1 artifacts: `closure_r05/run1/`.
+so the argmin selected a noise dip (winner's curse over 30 draws).  Two
+fixes, both validated post-hoc on run 1's saved checkpoints and
+exercised IN-TRAINING by this run:
+
+  1. **common random numbers** — one fixed generation seed for every
+     eval, so successive scores differ only through the params;
+  2. **tie-to-later selection** — the slot holds the LATEST eval within
+     (1+{cfg.physics_eval_margin:g}) of the best score seen, instead of
+     the argmin: PHYSEVAL_CRN_r05.md measured that even under CRN,
+     equal-quality late checkpoints still differ ~15% per seed at 2k
+     jets (genuinely worse ones separate by 60%+), so an argmin over ~30
+     evals still picks a noise dip, while under a cosine schedule the
+     later of two statistical ties is the right choice.  A score beyond
+     the margin (divergence, late overfit) freezes the slot at the last
+     healthy epoch.
+
+Run-1 artifacts: `closure_r05/run1/`.
 
 ## Checkpoint-slot ablation ({args.gen_jets:,} jets @{args.num_timesteps} steps per slot, seed 7)
 
-| slot | W1(pt) | W1(mass) | W1(mult) |
-|---|---|---|---|
+| slot | epoch | W1(pt) | W1(mass) | W1(mult) |
+|---|---|---|---|---|
 {abl_rows}
 
 W1(mult) is computed from generated tokens ((tokens>0).sum per jet), not

@@ -108,6 +108,11 @@ def experiment_configs(argv=None) -> Config:
                         "mis-rank sample quality, CLOSURE_r03)")
     p.add_argument("--physics_eval_num_jets", type=int, default=2000)
     p.add_argument("--physics_eval_num_timesteps", type=int, default=250)
+    p.add_argument("--physics_eval_margin", type=float, default=0.3,
+                   help="tie-to-later slot rule: best_physics holds the "
+                        "LATEST eval within (1+margin) of the best score "
+                        "seen (argmin mis-ranks at feasible eval sizes, "
+                        "PHYSEVAL_CRN_r05.md); 0 = legacy argmin")
     p.add_argument("--use_wandb", action="store_true", default=False,
                    help="extra Weights & Biases metric sink (offline-first; "
                         "requires the wandb package — the online-tracker UX "

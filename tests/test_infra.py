@@ -332,6 +332,67 @@ def test_checkpoint_resume_duplicate_epochs_and_link_safety(tmp_path):
     assert mgr.load(tpl, "best")["w"][0] == 22.0
 
 
+def test_checkpoint_physics_margin_tie_to_later(tmp_path):
+    """Round-5 tie-to-later rule for `best_physics`: the slot holds the
+    LATEST eval within (1+margin) of the best score seen — argmin over
+    ~30 noisy in-training evals provably picks a noise dip
+    (PHYSEVAL_CRN_r05.md: equal-quality late checkpoints differ ~15% per
+    seed at 2k jets).  A score beyond the margin freezes the slot at the
+    last healthy epoch; a later healthy score re-takes it."""
+    mgr = CheckpointManager(
+        str(tmp_path / "ck"), monitors={"best_physics": "val_w1_physics"},
+        top_k=3, physics_margin=0.3)
+
+    def st(v):
+        return {"w": np.full(2, float(v))}
+
+    tpl = {"w": np.zeros(2)}
+
+    # improving then statistically-tied sequence: the slot tracks LATEST
+    w = mgr.save(st(1), {"val_w1_physics": 0.10}, epoch=1)
+    assert w["best_physics"]
+    w = mgr.save(st(2), {"val_w1_physics": 0.05}, epoch=2)   # new best
+    assert w["best_physics"]
+    w = mgr.save(st(3), {"val_w1_physics": 0.06}, epoch=3)   # within 30%
+    assert w["best_physics"]
+    assert mgr.load(tpl, "best_physics")["w"][0] == 3.0      # later tie wins
+    assert mgr.index["best_values"]["best_physics"]["epoch"] == 3
+    assert mgr.index["best_values"]["best_physics"]["min_value"] == 0.05
+
+    # a genuinely-worse eval (beyond 1.3x of best) freezes the slot
+    w = mgr.save(st(4), {"val_w1_physics": 0.09}, epoch=4)
+    assert not w["best_physics"]
+    assert mgr.load(tpl, "best_physics")["w"][0] == 3.0
+    assert mgr.index["best_values"]["best_physics"]["frozen"]
+
+    # recovery: a later healthy score re-takes the slot
+    w = mgr.save(st(5), {"val_w1_physics": 0.055}, epoch=5)
+    assert w["best_physics"]
+    assert mgr.load(tpl, "best_physics")["w"][0] == 5.0
+    assert not mgr.index["best_values"]["best_physics"]["frozen"]
+
+    # min_value survives a resume (index round trip)
+    mgr2 = CheckpointManager(
+        str(tmp_path / "ck"), monitors={"best_physics": "val_w1_physics"},
+        top_k=3, physics_margin=0.3)
+    assert mgr2.index["best_values"]["best_physics"]["min_value"] == 0.05
+    w = mgr2.save(st(6), {"val_w1_physics": 0.08}, epoch=6)  # > 1.3 * 0.05
+    assert not w["best_physics"]
+
+    # the ranked runner-up space still works independently of the slot
+    ranked = mgr2.index["topk"]["best_physics"]
+    assert ranked[0]["value"] == 0.05
+
+    # margin=0 keeps the legacy argmin symlink behavior
+    mgr0 = CheckpointManager(
+        str(tmp_path / "ck0"), monitors={"best_physics": "val_w1_physics"},
+        top_k=3, physics_margin=0.0)
+    mgr0.save(st(1), {"val_w1_physics": 0.05}, epoch=1)
+    mgr0.save(st(2), {"val_w1_physics": 0.06}, epoch=2)      # tie -> NOT taken
+    assert mgr0.load(tpl, "best_physics")["w"][0] == 1.0
+    assert os.path.islink(os.path.join(mgr0.dir, "best_physics"))
+
+
 def test_wandb_sink_fake_module(tmp_path, monkeypatch):
     """WandbSink drives wandb.init/log/finish (W&B replaces the
     reference's Comet tracker, `utils/helpers.py:14-38`); MetricsLogger
