@@ -105,6 +105,37 @@ def test_fit_writes_best_physics_slot():
         assert len(hist) == 2
 
 
+def test_physics_eval_uses_common_random_numbers(monkeypatch):
+    """Every in-training eval of a run must use ONE fixed generation seed
+    (common random numbers): round 5 measured per-eval reseeding to
+    mis-rank — each score carried the full few-thousand-jet sampling
+    variance and the argmin picked a noise dip (CLOSURE_r05 run 1,
+    PHYSEVAL_CRN_r05.md).  Guards against reintroducing epoch-dependent
+    seeding."""
+    import multimodal_flows_tpu.train.physics_eval as pe
+
+    seeds = []
+    real = pe.physics_metrics
+
+    def record(*a, **kw):
+        seeds.append(kw.get("seed"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pe, "physics_metrics", record)
+    cfg = _mk_cfg(batch_size=8, max_epochs=4, physics_eval_every_n_epochs=1,
+                  physics_eval_num_jets=16, physics_eval_num_timesteps=2)
+    jets = make_jets(B=32, D=16, seed=9)
+    ds = ArrayDataset(DataCoupling(source=MultiModal(mask=jets.mask), target=jets))
+    train_ds, val_ds = ds.split(0.7, seed=0)
+    trainer = Trainer(build_system(cfg, "MMF"), cfg, mesh=None)
+    with tempfile.TemporaryDirectory() as d:
+        cfg.dir = d
+        trainer.fit(train_ds, val_ds)
+    assert len(seeds) >= 3, "expected one eval per epoch"
+    assert len(set(seeds)) == 1, f"eval seeds must be constant, got {seeds}"
+    assert seeds[0] is not None
+
+
 def test_physics_eval_failure_does_not_kill_fit(monkeypatch):
     """A failing physics eval is logged and skipped — a metric must never
     kill a 1500-epoch run."""
