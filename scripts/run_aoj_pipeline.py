@@ -106,8 +106,6 @@ def main(argv=None):
         args.sweep_steps, args.sweep_temps = [20, 100], [1.0]
         model_flags = ["--n_embd", "64", "--n_inner", "128", "--n_layer",
                        "2", "--n_layer_fused", "2", "--n_head", "2"]
-    else:
-        model_flags = []  # train_mmf defaults = the reference flagship
         for fname, n, seed in [("RunG_synth_train.h5", args.num_jets, 0),
                                ("RunG_synth_test.h5", 5_000, 1)]:
             path = os.path.join(args.dir_aoj, fname)
@@ -117,6 +115,8 @@ def main(argv=None):
                 with h5py.File(path, "w") as f:
                     f.create_dataset("PFCands", data=pf)
                 print(f"wrote synthetic real-schema PFCands {pf.shape} -> {path}")
+    else:
+        model_flags = []  # train_mmf defaults = the reference flagship
 
     if args.test_file is None:
         print("WARNING: --test_file not given; closure will score against "
