@@ -283,6 +283,22 @@ class DiscreteSolver:
 # ---------------------------------------------------------------------------
 
 
+#: process-wide default for `simulate`'s `lax.scan` unroll factor.  The
+#: sampling drivers pick it up through `scan_unroll()` (and key their jit
+#: caches on it); PROFILE_r05.md measures whether >1 pays at the flagship
+#: packed shape.
+_SCAN_UNROLL = 1
+
+
+def set_scan_unroll(n: int) -> None:
+    global _SCAN_UNROLL
+    _SCAN_UNROLL = max(1, int(n))
+
+
+def scan_unroll() -> int:
+    return _SCAN_UNROLL
+
+
 def time_grid(time_eps: float, num_timesteps: int):
     """linspace(eps, 1-eps, steps) and the uniform dt
     (reference `MMF.py:181-184`)."""
@@ -300,6 +316,7 @@ def simulate(
     *,
     return_trajectory: bool = False,
     use_final_max_rates: bool = False,
+    unroll: Optional[int] = None,
 ) -> MultiModal:
     """Roll a solver over the full time grid inside one `lax.scan`.
 
@@ -311,8 +328,16 @@ def simulate(
     fixed-overhead dominated (~0.9 ms/step ≈ 12% of a flagship sampling
     step, PROFILE_r02), while one (steps, B, D) draw amortizes to ~nothing.
     Other solver methods keep per-step key folding.
+
+    `unroll` is passed to `lax.scan`: >1 replicates the step body so XLA
+    amortizes per-iteration loop bookkeeping and can fuse across adjacent
+    steps.  Semantics are unchanged (same math, same RNG stream); compile
+    time grows with the body size.  Measured on the flagship packed shape
+    in PROFILE_r05.md (solver-overhead itemization).
     """
     ts, dt = time_grid(time_eps, num_timesteps)
+    if unroll is None:
+        unroll = _SCAN_UNROLL
     B = len(source)
     D = source.num_particles
 
@@ -337,7 +362,7 @@ def simulate(
             return (state, last_rates), y
 
         (final_state, final_rates), traj = jax.lax.scan(
-            step, (source, init_rates), xs
+            step, (source, init_rates), xs, unroll=unroll
         )
     else:
 
@@ -355,7 +380,7 @@ def simulate(
             return (state, k, last_rates), y
 
         (final_state, _, final_rates), traj = jax.lax.scan(
-            step, (source, key, init_rates), ts
+            step, (source, key, init_rates), ts, unroll=unroll
         )
 
     if track_rates:

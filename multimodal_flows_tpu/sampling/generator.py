@@ -28,6 +28,7 @@ import yaml
 
 from multimodal_flows_tpu.config import Config
 from multimodal_flows_tpu.data.state import MultiModal
+from multimodal_flows_tpu.dynamics.solvers import scan_unroll
 from multimodal_flows_tpu.ops.attention import (fast_inference_softmax,
                                                   fast_softmax_would_apply)
 from multimodal_flows_tpu.utils.logger import SimpleLogger as log
@@ -175,7 +176,7 @@ def generate(
     if cache is None:
         cache = system._sim_cache = {}
     sig = (num_timesteps, top_k, top_p, use_final_max_rates, batch_size,
-           n_batches, masks.shape[1], fast_softmax_would_apply())
+           n_batches, masks.shape[1], fast_softmax_would_apply(), scan_unroll())
 
     if sig not in cache:
 
@@ -537,7 +538,7 @@ def _run_packed_rows(system, params, row_masks: np.ndarray, row_segs: np.ndarray
     if cache is None:
         cache = system._packed_sim_cache = {}
     sig = (num_timesteps, top_k, top_p, use_final_max_rates, batch_size,
-           n_batches, W, num_segments, fast_softmax_would_apply())
+           n_batches, W, num_segments, fast_softmax_would_apply(), scan_unroll())
 
     if sig not in cache:
 

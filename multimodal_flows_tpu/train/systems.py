@@ -232,12 +232,12 @@ class MMF:
     def simulate(self, params, key: Array, source: MultiModal, num_timesteps: int,
                  temperature: float = 1.0, top_k=None, top_p=None,
                  use_final_max_rates: bool = False, return_trajectory: bool = False,
-                 segments=None, num_segments=None):
+                 segments=None, num_segments=None, unroll=None):
         solver = self.make_solver(params, temperature, top_k, top_p, segments,
                                   num_segments)
         return simulate(key, solver, source, num_timesteps, self.config.time_eps,
                         return_trajectory=return_trajectory,
-                        use_final_max_rates=use_final_max_rates)
+                        use_final_max_rates=use_final_max_rates, unroll=unroll)
 
 
 class CFM:
@@ -321,7 +321,7 @@ class CFM:
 
     def simulate(self, params, key: Array, source: MultiModal, num_timesteps: int,
                  method: str = "euler", return_trajectory: bool = False,
-                 segments=None, num_segments=None, **_ignored):
+                 segments=None, num_segments=None, unroll=None, **_ignored):
         """Euler / Euler-Maruyama integration.  Extra hybrid-only kwargs
         (temperature, top_k, ...) are accepted and ignored so the generic
         generation driver can run any system."""
@@ -336,7 +336,7 @@ class CFM:
             method=method,
         )
         return simulate(key, solver, source, num_timesteps, self.config.time_eps,
-                        return_trajectory=return_trajectory)
+                        return_trajectory=return_trajectory, unroll=unroll)
 
 
 class MJB:
@@ -424,7 +424,7 @@ class MJB:
     def simulate(self, params, key: Array, source: MultiModal, num_timesteps: int,
                  temperature: float = 1.0, top_k=None, top_p=None,
                  return_trajectory: bool = False, segments=None,
-                 num_segments=None, **_ignored):
+                 num_segments=None, unroll=None, **_ignored):
         if segments is None:
             apply_fn = lambda s: self.module.apply(params, s)
         else:
@@ -440,7 +440,7 @@ class MJB:
             method=self.config.markov_jump_solver,
         )
         return simulate(key, solver, source, num_timesteps, self.config.time_eps,
-                        return_trajectory=return_trajectory)
+                        return_trajectory=return_trajectory, unroll=unroll)
 
 
 def build_system(config: Config, kind: str = "MMF"):

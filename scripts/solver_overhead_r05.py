@@ -193,6 +193,19 @@ def main(argv=None):
         results["variants"]["full_maxrates_B128"] = round(ms_fr, 4)
         log.info(f"B={B} full+maxrates: {ms_fr:.3f} ms/step")
 
+        # ---- scan unroll: amortize per-iteration fixed cost (semantics
+        # pinned unchanged by tests/test_solvers.py unroll tests)
+        for u in (2, 4):
+            @jax.jit
+            def full_unroll(p, src, key, _u=u):
+                with fast_inference_softmax():
+                    return system.simulate(p, key, src, args.steps,
+                                           segments=segs_dev, unroll=_u)
+
+            ms_u = timed(full_unroll, params, state, jax.random.PRNGKey(2))
+            results["variants"][f"full_B128_unroll{u}"] = round(ms_u, 4)
+            log.info(f"B={B} full unroll={u}: {ms_u:.3f} ms/step")
+
     # ---- linear fit t(B) = a + b*B over the full variants
     Bs = np.array([32, 64, 128, 256], float)
     ys = np.array([results["variants"][f"full_B{int(b)}"] for b in Bs])
@@ -204,20 +217,29 @@ def main(argv=None):
 
     # ---- end-to-end jets/s at B 128 vs 256 (bench grid)
     if not args.skip_e2e:
+        from multimodal_flows_tpu.dynamics.solvers import set_scan_unroll
         from multimodal_flows_tpu.sampling.generator import generate_packed
 
         n = np.clip(np.random.default_rng(0).poisson(40, size=2048), 3, 150)
         pad_masks = (np.arange(150)[None, :] < n[:, None]).astype(np.int64)[..., None]
-        for B in (128, 256):
-            res = generate_packed(system, params, pad_masks, num_timesteps=1000,
-                                  pack_width=W, batch_size=B, seed=1,
-                                  max_dispatch_steps=16_000)
-            res2 = generate_packed(system, params, pad_masks, num_timesteps=1000,
-                                   pack_width=W, batch_size=B, seed=2,
-                                   max_dispatch_steps=16_000)
+        for B, unroll in ((128, 1), (256, 1), (128, 2), (128, 4)):
+            set_scan_unroll(unroll)
+            try:
+                res = generate_packed(system, params, pad_masks,
+                                      num_timesteps=1000,
+                                      pack_width=W, batch_size=B, seed=1,
+                                      max_dispatch_steps=16_000)
+                res2 = generate_packed(system, params, pad_masks,
+                                       num_timesteps=1000,
+                                       pack_width=W, batch_size=B, seed=2,
+                                       max_dispatch_steps=16_000)
+            finally:
+                set_scan_unroll(1)
             jps = max(res.jets_per_sec, res2.jets_per_sec)
-            results[f"e2e_jets_per_sec_B{B}"] = round(jps, 2)
-            log.info(f"e2e B={B}: {jps:.1f} jets/s")
+            tag = f"e2e_jets_per_sec_B{B}" + (f"_unroll{unroll}"
+                                              if unroll > 1 else "")
+            results[tag] = round(jps, 2)
+            log.info(f"e2e B={B} unroll={unroll}: {jps:.1f} jets/s")
 
     os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
     json.dump(results, open(args.out_json, "w"), indent=1)

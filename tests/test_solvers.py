@@ -201,3 +201,43 @@ def test_single_uniform_tauleap_matches_full_poisson_law():
     f_ref = np.bincount(np.asarray(k_ref).ravel(), minlength=V) / (B * D)
     f_new = np.bincount(np.asarray(k_new).ravel(), minlength=V) / (B * D)
     np.testing.assert_allclose(f_new, f_ref, atol=0.01)
+
+
+def test_simulate_unroll_is_semantics_free():
+    """`unroll` amortizes scan bookkeeping only: the trajectory (same RNG
+    stream, same math) must be identical for any factor, including one
+    that does not divide num_timesteps."""
+    state = _toy_state(B=8, D=4)
+    bridge = RandomTelegraphBridge(0.075, V)
+
+    def apply_fn(s):
+        return -0.3 * s.continuous, s.continuous.sum(-1, keepdims=True) * jnp.ones(
+            s.discrete.shape[:2] + (V,))
+
+    solver = solvers.HybridSolver(apply_fn, bridge, V)
+    outs = [solvers.simulate(jax.random.PRNGKey(9), solver, state, 10, 1e-5,
+                             unroll=u) for u in (1, 2, 3)]
+    for other in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(outs[0].discrete),
+                                      np.asarray(other.discrete))
+        np.testing.assert_allclose(np.asarray(outs[0].continuous),
+                                   np.asarray(other.continuous), rtol=1e-6)
+
+
+def test_set_scan_unroll_default_flows_through():
+    solvers.set_scan_unroll(4)
+    try:
+        assert solvers.scan_unroll() == 4
+        state = _toy_state(B=4, D=2)
+        bridge = RandomTelegraphBridge(0.075, V)
+        solver = solvers.HybridSolver(
+            lambda s: (jnp.zeros_like(s.continuous),
+                       jnp.zeros(s.discrete.shape[:2] + (V,))), bridge, V)
+        ref = solvers.simulate(jax.random.PRNGKey(2), solver, state, 6, 1e-5,
+                               unroll=1)
+        via_default = solvers.simulate(jax.random.PRNGKey(2), solver, state, 6,
+                                       1e-5)
+        np.testing.assert_array_equal(np.asarray(ref.discrete),
+                                      np.asarray(via_default.discrete))
+    finally:
+        solvers.set_scan_unroll(1)
