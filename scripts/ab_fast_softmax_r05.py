@@ -106,12 +106,13 @@ def main(argv=None):
 
     # pull the seed noise floor from the closure, if present
     floor = None
-    cpath = "closure_r05/metrics.json"
-    if os.path.exists(cpath):
-        st = json.load(open(cpath)).get("seed_stats", {})
-        if "last" in st:
-            floor = {"pt": st["last"]["pt"]["spread"],
-                     "mass": st["last"]["mass"]["spread"]}
+    for cpath in ("closure_r05/run2/metrics.json", "closure_r05/metrics.json"):
+        if os.path.exists(cpath):
+            st = json.load(open(cpath)).get("seed_stats", {})
+            if "last" in st:
+                floor = {"pt": st["last"]["pt"]["spread"],
+                         "mass": st["last"]["mass"]["spread"]}
+            break
 
     out = {"num_jets": args.num_jets, "num_timesteps": args.num_timesteps,
            "checkpoint": "last", "results": results, "fast_vs_exact": direct,

@@ -54,6 +54,10 @@ def experiment_configs(argv=None):
                    help="cap batches*timesteps per device program; lower for "
                         "encoders with heavy forwards (pairwise biases) to "
                         "keep single dispatches tunnel-safe")
+    p.add_argument("--scan_unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the sampling loop "
+                        "(semantics-free; PROFILE_r05.md measures whether "
+                        ">1 pays at the flagship shape)")
     p.add_argument("--metrics_only", action="store_true", default=False,
                    help="crash-resume: skip generation and (re)compute "
                         "metrics.json for every existing generation_results* "
@@ -90,6 +94,10 @@ def main(argv=None):
         from multimodal_flows_tpu.utils import enable_compilation_cache
 
         enable_compilation_cache()
+        if args.scan_unroll > 1:
+            from multimodal_flows_tpu.dynamics.solvers import set_scan_unroll
+
+            set_scan_unroll(args.scan_unroll)
 
     kind = "MMF"
     for t in config.tags or []:
